@@ -1,38 +1,603 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Column names/aliases
+match exactly between both sides.
+
+The CDC queries treat the driver's ``events`` table as a WAL:
+lsn=event_id, key=(conv_id='c'||user_id, turn_idx=event_id%8),
+op: 'error' -> delete, else upsert — so the engine's LWW merge semantics
+are oracle-checkable in pure SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from endor_blockchain_data_pipeline_spark.functions.decode import normalize_text_expr
+from endor_blockchain_data_pipeline_spark.functions.text import (
+    lang_guess_expr,
+    quality_score_expr,
+    stopword_hits_expr,
+    token_count_expr,
+)
+from endor_blockchain_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_simhash,
+    minhash_signatures,
+)
+from endor_blockchain_data_pipeline_spark.operators.ohlc import double_entry_flip, ohlc
+from endor_blockchain_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    srp_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, prec: int = 2, alias: str | None = None):
+    """Exact decimal sum surfaced as double — FP-stable across engines."""
+    c = F.sum(F.col(col).cast(f"decimal(18,{prec})")).cast("double")
+    return c.alias(alias) if alias else c
+
+
+# ---------------------------------------------------------------- CDC core
+
+
+def _events_as_wal(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("value").alias("val"),
+        F.col("ts"),
+    )
+
+
+def q_lww_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: LWW latest-state per (conv_id, turn_idx) with deletes."""
+    wal = _events_as_wal(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("lsn").desc(), F.col("ts").desc()
+    )
+    return (
+        wal.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("conv_id", "turn_idx", "role", "text", "val", "lsn", "ts")
+    )
+
+
+_SQL_WAL = """
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+           'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 8 AS INTEGER) AS turn_idx,
+           event_type AS role, props AS text, value AS val, ts
+    FROM events
+"""
+
+_SQL_LWW = f"""
+WITH wal AS ({_SQL_WAL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC, ts DESC) AS rn
+  FROM wal)
+SELECT conv_id, turn_idx, role, text, val, lsn, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("event_id").alias("max_lsn"),
+        F.min("event_id").alias("min_lsn"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_ranged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where((F.col("event_id") > 2000) & (F.col("event_id") <= 3000)).select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_type").alias("op_type"),
+        "user_id",
+        F.col("value").alias("val"),
+    )
+
+
+def q_dedup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key change counts + winning lsn (the merge's reduce shape)."""
+    wal = _events_as_wal(_t(spark, sf_dir, "events"))
+    return wal.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n_changes"),
+        F.max("lsn").alias("win_lsn"),
+        F.max_by("role", "lsn").alias("win_role"),
+    )
+
+
+# ------------------------------------------------------- relational / TPC-H
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", 2, "sum_qty"),
+            _dec_sum("l_extendedprice", 2, "sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_broadcast_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), _dec_sum("o_totalprice", 2, "total_price"))
+    )
+
+
+def q_multi_join_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order — except-as-left_anti (J5/U2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.where(F.col("o_totalprice") > 100000),
+        c["c_custkey"] == o["o_custkey"],
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-equalities join (J3) — BroadcastNestedLoop on purpose."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = n.join(
+        F.broadcast(r),
+        (n["n_regionkey"] == r["r_regionkey"]) | (n["n_name"] == r["r_name"]),
+        "inner",
+    )
+    return joined.groupBy("r_name").agg(F.count("*").alias("n_nations"))
+
+
+def q_isin_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def q_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "val2", F.when(F.col("value") < 5, None).otherwise(F.col("value"))
+    )
+    filled = ev.na.fill({"val2": 0.0})
+    return filled.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val2").cast("decimal(18,2)")).cast("double").alias("sum_filled"),
+        F.sum(F.when(F.col("val2") == 0.0, 1).otherwise(0)).alias("n_was_null"),
+    )
+
+
+def q_date_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
+    b = c.where(F.col("c_acctbal") < 0).select("c_mktsegment", "c_custkey")  # reordered
+    u = a.unionByName(b)
+    return u.groupBy("c_mktsegment").agg(F.count("*").alias("n_rows"))
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ohlc(
+        ev,
+        value_col="value",
+        ts_col="ts",
+        group_cols=["event_type"],
+        tiebreak_col="event_id",
+        day_col="day",
+    )
+
+
+def q_double_entry_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("from_id"),
+        F.pmod(F.col("event_id"), F.lit(97)).alias("to_id"),
+        F.col("value").alias("val"),
+    )
+    return double_entry_flip(ev, "from_id", "to_id", "val")
+
+
+# ----------------------------------------------------------- text / corpus
+
+
+def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+    return words.groupBy("word").agg(F.count("*").alias("n")).where(F.col("n") >= 20)
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", normalize_text_expr(F.col("text")).alias("norm_text")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(token_count_expr("text").cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score_expr("text").alias("quality"),
+        lang_guess_expr("text").alias("lang_guess"),
+        stopword_hits_expr("text", "en").alias("en_stopwords"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, "text", "doc_id", k_shingle=12, n_hashes=4)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(e, qvec, k=10)
+
+
+# -------------------------------------------- non-SQL-expressible (no oracle)
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup_simhash(d, "text", "doc_id", band_bits=16)
+
+
+def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return srp_topk(e, qvec, k=10, n_bits=8)
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_lww_merge_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lww_merge_state": q_lww_merge_state,
+        "watermark_probe": q_watermark_probe,
+        "ranged_scan": q_ranged_scan,
+        "dedup_within_batch": q_dedup_within_batch,
+        "agg_pricing": q_agg_pricing,
+        "broadcast_join_enrich": q_broadcast_join_enrich,
+        "multi_join_regional": q_multi_join_regional,
+        "anti_join_customers": q_anti_join_customers,
+        "semi_join_big_spenders": q_semi_join_big_spenders,
+        "disjunctive_join": q_disjunctive_join,
+        "isin_projection": q_isin_projection,
+        "na_handling": q_na_handling,
+        "date_truncation": q_date_truncation,
+        "union_by_name": q_union_by_name,
+        "ohlc_daily": q_ohlc_daily,
+        "double_entry_flip": q_double_entry_flip,
+        "explode_words": q_explode_words,
+        "normalize_text": q_normalize_text,
+        "token_stats": q_token_stats,
+        "quality_langid": q_quality_langid,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "ann_topk": q_ann_topk,
+        "simhash_candidates": q_simhash_candidates,
+        "srp_ann_topk": q_srp_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "lww_merge_state": _SQL_LWW,
+        "watermark_probe": """
+            SELECT max(event_id) AS max_lsn, min(event_id) AS min_lsn,
+                   count(*) AS n_events FROM events
+        """,
+        "ranged_scan": """
+            SELECT event_id AS lsn, event_type AS op_type, user_id, value AS val
+            FROM events WHERE event_id > 2000 AND event_id <= 3000
+        """,
+        "dedup_within_batch": f"""
+            WITH wal AS ({_SQL_WAL})
+            SELECT conv_id, turn_idx, count(*) AS n_changes,
+                   max(lsn) AS win_lsn, max_by(role, lsn) AS win_role
+            FROM wal GROUP BY conv_id, turn_idx
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join_enrich": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "multi_join_regional": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        """,
+        "semi_join_big_spenders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """,
+        "disjunctive_join": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region
+              ON n_regionkey = r_regionkey OR n_name = r_name
+            GROUP BY r_name
+        """,
+        "isin_projection": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type IN ('click', 'view')
+        """,
+        "na_handling": """
+            WITH e AS (SELECT event_type,
+                              COALESCE(CASE WHEN value < 5 THEN NULL ELSE value END, 0.0) AS val2
+                       FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(CAST(val2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled,
+                   SUM(CASE WHEN val2 = 0.0 THEN 1 ELSE 0 END) AS n_was_null
+            FROM e GROUP BY event_type
+        """,
+        "date_truncation": """
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "union_by_name": """
+            WITH u AS (
+              SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+              UNION ALL
+              SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 0)
+            SELECT c_mktsegment, count(*) AS n_rows FROM u GROUP BY c_mktsegment
+        """,
+        "ohlc_daily": """
+            WITH r AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, value, ts, event_id,
+                     row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                        ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events)
+            SELECT event_type, day,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   count(*) AS n_obs
+            FROM r GROUP BY event_type, day
+        """,
+        "double_entry_flip": """
+            SELECT event_id, user_id AS from_id, event_id % 97 AS to_id,
+                   value AS val, false AS flipped
+            FROM events
+            UNION ALL
+            SELECT event_id, event_id % 97 AS from_id, user_id AS to_id,
+                   -value AS val, true AS flipped
+            FROM events
+        """,
+        "explode_words": """
+            SELECT word, count(*) AS n
+            FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(word)
+            GROUP BY word HAVING count(*) >= 20
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '…', ' ', 'g'),
+                                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "token_stats": """
+            SELECT lang,
+                   SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+                   SUM(n_chars) AS total_chars, count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '…', ' ', 'g'),
+                                           '\\s+', ' ', 'g'))) AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": """
+            WITH sh AS (
+              SELECT doc_id, substr(text, CAST(i AS INTEGER), 12) AS sh
+              FROM documents,
+                   UNNEST(range(1, greatest(len(text) - 11, 1) + 1)) AS t(i))
+            SELECT doc_id,
+                   min(md5('h0:' || sh)) AS mh0, min(md5('h1:' || sh)) AS mh1,
+                   min(md5('h2:' || sh)) AS mh2, min(md5('h3:' || sh)) AS mh3
+            FROM sh GROUP BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM embeddings e, q)
+            SELECT vec_id, cos_sim, rank FROM (
+              SELECT vec_id, cos_sim,
+                     row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 10
+        """,
+        # quality_langid: the Spark-side quality formula is a long but pure
+        # arithmetic chain — mirrored here verbatim.
+        "quality_langid": _SQL_QUALITY_LANGID,
+        # simhash_candidates / srp_ann_topk: hash recipes use engine-native
+        # xxhash64 / 64-bit aggregate folds — not reasonably SQL-expressible;
+        # the driver records rows-only checks for them.
+    }
+
+
+_STOP_EN = ["the", "a", "and", "of", "to"]
+_STOP = {
+    "en": _STOP_EN,
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def _sql_stop_hits(lang: str) -> str:
+    padded = "' ' || lower(text) || ' '"
+    terms = [
+        f"(CASE WHEN {padded} LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in _STOP[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _build_quality_langid_sql() -> str:
+    hits = {lang: _sql_stop_hits(lang) for lang in ["en", "es", "fr", "de"]}
+    # argmax over langs with 'later wins only on strictly greater' semantics,
+    # mirroring lang_guess_expr's fold order.
+    lang_case = f"""
+      CASE
+        WHEN {hits['de']} > greatest({hits['en']}, {hits['es']}, {hits['fr']}, 0)
+             THEN 'de'
+        WHEN {hits['fr']} > greatest({hits['en']}, {hits['es']}, 0) THEN 'fr'
+        WHEN {hits['es']} > greatest({hits['en']}, 0) THEN 'es'
+        WHEN {hits['en']} > 0 THEN 'en'
+        ELSE 'und'
+      END
     """
-    return {}
+    return f"""
+      WITH base AS (
+        SELECT doc_id, text, trim(text) AS c, len(trim(text)) AS n,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+        FROM documents),
+      scored AS (
+        SELECT doc_id, text, n, toks,
+               CASE WHEN toks = 0 THEN 0.0 ELSE CAST(n AS DOUBLE) / toks END AS mean_word,
+               (n - len(regexp_replace(c, '[^\\w\\s]', '', 'g'))) AS punct_n,
+               CASE WHEN n >= 50 AND n <= 5000 THEN 1.0
+                    WHEN n > 5000 THEN 0.5
+                    ELSE CAST(n AS DOUBLE) / 50.0 END AS len_score
+        FROM base),
+      final AS (
+        SELECT doc_id, text,
+               len_score,
+               1.0 - least((CASE WHEN n = 0 THEN 0.0
+                                 ELSE CAST(punct_n AS DOUBLE) / n END) * 4, 1.0) AS punct_score,
+               CASE WHEN mean_word >= 3 AND mean_word <= 10 THEN 1.0 ELSE 0.5 END AS word_score
+        FROM scored)
+      SELECT doc_id,
+             round(len_score * 0.4 + punct_score * 0.3 + word_score * 0.3, 4) AS quality,
+             {lang_case} AS lang_guess,
+             {hits['en']} AS en_stopwords
+      FROM final
+    """
+
+
+_SQL_QUALITY_LANGID = _build_quality_langid_sql()

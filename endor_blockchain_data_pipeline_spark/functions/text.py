@@ -1,0 +1,112 @@
+"""Text analytics for training-data pipelines — all pure column expressions.
+
+Everything stays inside whole-stage codegen (no Python in the hot path):
+token counting, quality scoring, n-gram language ID heuristic, document
+fingerprinting. These are the target engine's extension of the reference's
+string-ops surface (``EthereumTokensOps.scala:12-19``) to corpus curation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny stopword lists per language for the n-gram/stopword language guesser.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+
+
+def bpe_ish_token_count_expr(col: Column | str) -> Column:
+    """BPE-flavored proxy: word-chunk + punctuation split, ~chars/4 floor.
+
+    A deterministic, JVM-side stand-in for a real tokenizer: counts regex
+    word pieces plus standalone punctuation, the usual pre-tokenization of
+    BPE vocabularies.
+    """
+    c = F.trim(_c(col))
+    pieces = F.size(
+        F.filter(F.split(c, r"[^A-Za-z0-9]+"), lambda x: F.length(x) > 0)
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (pieces + punct).cast("int")
+
+
+def punct_ratio_expr(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = _c(col)
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct.cast("double") / total)
+
+
+def stopword_hits_expr(col: Column | str, lang: str = "en") -> Column:
+    """How many stopwords of ``lang`` occur (word-boundary) in the text."""
+    c = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    hits = None
+    for w in STOPWORDS[lang]:
+        h = F.when(c.contains(f" {w} "), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    return hits.cast("int")
+
+
+def quality_score_expr(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    mean-word-length band. Deterministic, rounded to 4dp for oracle parity."""
+    c = F.trim(_c(col))
+    n = F.length(c)
+    toks = token_count_expr(c)
+    mean_word = F.when(toks == 0, F.lit(0.0)).otherwise(n.cast("double") / toks)
+    len_score = F.when((n >= 50) & (n <= 5000), 1.0).when(n > 5000, 0.5).otherwise(n.cast("double") / 50.0)
+    punct_score = 1.0 - F.least(punct_ratio_expr(c) * 4, F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
+    return F.round((len_score * 0.4 + punct_score * 0.3 + word_score * 0.3), 4)
+
+
+def lang_guess_expr(col: Column | str) -> Column:
+    """Stopword-vote language guess: argmax of per-language hits, 'und' if 0.
+
+    A deterministic n-gram-heuristic language ID; ties resolve in the fixed
+    language order below (stable, oracle-expressible).
+    """
+    c = _c(col)
+    guess = F.lit("und")
+    best = F.lit(0)
+    for lang in ["en", "es", "fr", "de"]:  # later langs win only strictly
+        hits = stopword_hits_expr(c, lang)
+        guess = F.when(hits > best, F.lit(lang)).otherwise(guess)
+        best = F.when(hits > best, hits).otherwise(best)
+    return guess
+
+
+def fingerprint_expr(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (portable across
+    engines — used as the exact-dedup key)."""
+    from endor_blockchain_data_pipeline_spark.functions.decode import normalize_text_expr
+
+    return F.md5(normalize_text_expr(_c(col)))
+
+
+def char_shingles(col: Column | str, k: int = 12) -> Column:
+    """Array of overlapping character k-shingles (for MinHash/Jaccard).
+
+    Pure expression: positions via ``sequence``, slices via ``substring`` in
+    a ``transform`` lambda. Empty/short texts yield a single whole-text
+    shingle so every doc has >= 1.
+    """
+    c = _c(col)
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))

@@ -1,0 +1,224 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All distributed, shuffle-conscious designs:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle, map-side
+  partial agg collapses duplicate-heavy partitions.
+- MinHash + LSH: shingle -> k portable minhashes (lexicographic min of
+  salted md5 — a valid random permutation family) -> band signatures ->
+  bucket-join candidates. Candidate verification by exact Jaccard only
+  within buckets: the classic near-dup pipeline without any all-pairs join.
+- SimHash: 64-bit hyperplane-free simhash from token md5 bits; near-dups =
+  equal bands of the simhash (Hamming-bucketed).
+- n-gram Jaccard: exact similarity for candidate pairs (small sides only).
+- embedding cosine near-dup: see operators/similarity.py.
+
+Portability note: every hash here is md5-hex-string based so DuckDB can run
+the identical computation as the correctness oracle (xxhash64/murmur are
+engine-specific). At 100 TB you would swap md5 for xxhash64 — the plan
+shape (explode -> partial agg -> band groupBy) is unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from endor_blockchain_data_pipeline_spark.functions.text import char_shingles, fingerprint_expr
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per normalized-text fingerprint.
+
+    Returns (fingerprint, keep_id, n_dups). One shuffle; partial aggregation
+    makes duplicate-heavy data cheaper, not more expensive.
+    """
+    return (
+        df.select(fingerprint_expr(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 12,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: n_hashes columns mh0..mh{n-1}.
+
+    minhash_i(doc) = min over shingles of md5(i || shingle): the lexicographic
+    min of a salted cryptographic hash is a uniform random permutation min —
+    the standard estimator (Broder '97). Explode + groupBy(min) = one shuffle
+    with map-side combine; shingle fan-out never leaves the map stage.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> DataFrame:
+    """Signature -> (band_idx, band_key) rows; docs sharing a band_key are
+    near-dup candidates. rows_per_band = n_hashes / n_bands."""
+    mh_cols = [c for c in sigs.columns if c.startswith("mh")]
+    rows = len(mh_cols) // n_bands
+    out = []
+    for b in range(n_bands):
+        band = F.md5(F.concat_ws("|", *[F.col(mh_cols[b * rows + j]) for j in range(rows)]))
+        out.append(
+            sigs.select(F.col(id_col), F.lit(b).alias("band_idx"), band.alias("band_key"))
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 12,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via LSH band bucket self-join.
+
+    The join key (band_idx, band_key) keeps the self-join sparse: only
+    same-bucket docs pair up. A giant bucket (degenerate all-same corpus)
+    would be the skew case — cap with AQE skew-join or pre-salt the bucket.
+    """
+    bands = lsh_bands(
+        minhash_signatures(df, text_col, id_col, k_shingle, n_hashes), id_col, n_bands
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 12,
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs.
+
+    Joins each side's distinct shingle set; |A∩B| via inner join on shingle,
+    |A∪B| = |A|+|B|-|A∩B|. Only candidate pairs are scored — the all-pairs
+    explosion never happens.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"]).groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_expr(text_col: Column | str, n_bits: int = 64) -> Column:
+    """64-bit SimHash from word tokens, as a bigint column expression.
+
+    Each token votes its md5-derived bit pattern; bit b of the simhash is 1
+    iff the sum of (2*bit-1) votes is positive. Expressed with aggregate()
+    over the token array — stays in codegen, no UDF. Near-dup docs have
+    small Hamming distance; bucketing on 16-bit bands finds them.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: F.length(x) > 0)
+    # votes[b] = sum over tokens of +-1 depending on bit b of md5(token).
+    # conv(md5 hex nibble-chunk, 16, 10) gives 4 bits at a time.
+    bits = []
+    for b in range(n_bits):
+        nibble = b // 4  # which hex char of the md5 carries this bit
+        bitpos = b % 4
+        vote = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.conv(F.substring(F.md5(t), nibble + 1, 1), 16, 10).cast("int")
+                .bitwiseAND(F.lit(1 << bitpos))
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        # shiftleft wraps at bit 63 (two's complement) — 2**63 won't fit a
+        # positive long literal.
+        bits.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    total = bits[0]
+    for x in bits[1:]:
+        total = total + x
+    return total
+
+
+def dedup_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidate pairs by equal SimHash band (any of 64/band_bits).
+
+    For 64-bit simhash and 16-bit bands, docs within Hamming distance 3 are
+    guaranteed to share >= 1 band (pigeonhole).
+    """
+    with_sh = df.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
+    n_bands = 64 // band_bits
+    bands = None
+    for b in range(n_bands):
+        piece = with_sh.select(
+            id_col,
+            "simhash",
+            F.lit(b).alias("band_idx"),
+            F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("band_val"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,83 @@
+"""Join strategies: broadcast dims, disjunctive-join rewrite, anti/semi.
+
+Reference parity:
+- J1/J2 broadcast equi-joins (``EthereumTokensPipeline.scala:42-45``):
+  plain ``df.join(F.broadcast(dim), ...)`` — nothing custom needed.
+- J3 disjunctive (OR-of-equalities) join
+  (``tokens/EthereumTokenRatesPipeline.scala:62-71``): Catalyst can only
+  plan OR-joins as nested-loop. ``disjunctive_join_rewrite`` turns
+  ``L join R on (a=x OR b=y ...)`` into a cascade of hash equi-joins with
+  first-match-wins priority — the scale path (each branch shuffles/hashes;
+  no quadratic comparisons).
+- J5 except-as-anti-join (``EthereumTokensPipeline.scala:75-80``):
+  ``left_anti`` is the idiomatic Spark form.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Equi-join with an explicit broadcast hint on the dimension side."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def missing_dim_keys(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> DataFrame:
+    """Keys present in the fact feed but absent from the dimension —
+    left_anti rewrite of the reference's distinct+except
+    (``EthereumTokensPipeline.scala:75-80``)."""
+    return (
+        fact.select(F.col(fact_key).alias("key"))
+        .distinct()
+        .join(F.broadcast(dim.select(F.col(dim_key).alias("key"))), "key", "left_anti")
+    )
+
+
+def disjunctive_join_rewrite(
+    left: DataFrame,
+    right: DataFrame,
+    branches: list[tuple[str, str]],
+    right_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Rewrite ``left JOIN right ON OR(l_i = r_i)`` as equi-join cascade.
+
+    For each (l_col, r_col) branch, hash-join on that equality; a row takes
+    the FIRST branch that matches (priority = branch order, matching the
+    OR's short-circuit semantics when right keys are unique per branch).
+    Output: left columns + coalesce-prioritized right_cols.
+
+    vs the nested-loop plan Catalyst produces for the raw OR condition:
+    each branch is a shuffled (or broadcast) hash join — linear, skew
+    handled by AQE. This is the reference-noted optimization opportunity
+    (SURVEY.md §4 'Disjunctive join').
+    """
+    out_left = left
+    picked: dict[str, F.Column] = {c: F.lit(None) for c in right_cols}
+    matched = F.lit(False)
+    for i, (lcol, rcol) in enumerate(branches):
+        r = right.select(
+            F.col(rcol).alias(f"_k{i}"),
+            *[F.col(c).alias(f"_b{i}_{c}") for c in right_cols],
+        )
+        out_left = out_left.join(
+            F.broadcast(r), out_left[lcol] == r[f"_k{i}"], "left"
+        ).drop(f"_k{i}")
+        for c in right_cols:
+            picked[c] = F.when(
+                ~matched & F.col(f"_b{i}_{c}").isNotNull(), F.col(f"_b{i}_{c}")
+            ).otherwise(picked[c])
+        matched = matched | F.col(f"_b{i}_{'' + right_cols[0]}").isNotNull()
+    result = out_left.select(
+        *[F.col(c) for c in left.columns],
+        *[picked[c].alias(c) for c in right_cols],
+    )
+    if how == "inner":
+        result = result.where(
+            F.coalesce(*[F.col(c).isNotNull() for c in right_cols], F.lit(False))
+        )
+    return result

@@ -1,0 +1,200 @@
+"""Operator-library tests: dedup (exact/minhash/simhash/jaccard), similarity,
+disjunctive-join rewrite, OHLC, flip, text analytics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from endor_blockchain_data_pipeline_spark.functions.text import (
+    bpe_ish_token_count_expr,
+    lang_guess_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from endor_blockchain_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_simhash,
+    minhash_candidates,
+    ngram_jaccard,
+)
+from endor_blockchain_data_pipeline_spark.operators.joins import (
+    disjunctive_join_rewrite,
+    missing_dim_keys,
+)
+from endor_blockchain_data_pipeline_spark.operators.ohlc import double_entry_flip, ohlc
+from endor_blockchain_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    srp_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with exact dups, near-dups (1-word edits), and distinct docs."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun and everyone naps"
+    )
+    near = base.replace("afternoon", "morning")
+    near2 = base.replace("cat", "bird").replace("dog", "wolf")
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "  " + base.upper() + "  "),  # dup modulo normalization
+        (3, near),  # near-dup of 0
+        (4, near2),  # near-dup of 0 (2 edits)
+        (5, "completely different text about spark shuffles and parquet files and adaptive query execution plans"),
+        (6, "yet another unrelated document mentioning broadcast joins bucketing and watermark semantics for streams"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_normalized(spark, docs):
+    res = dedup_exact(docs).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in res}
+    assert by_keep[0] == 3  # docs 0,1,2 collapse to one fingerprint
+    assert len(res) == 5
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(docs, k_shingle=8, n_hashes=8, n_bands=4).collect()
+    }
+    # exact dups must be candidates; near-dups should be too at these params
+    assert (0, 1) in pairs
+    assert (0, 3) in pairs or (1, 3) in pairs
+    # completely different docs should not pair with the base cluster
+    assert (0, 5) not in pairs and (0, 6) not in pairs
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3), (0, 5)], "id_a long, id_b long")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs, k_shingle=8).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.5 < j[(0, 3)] < 1.0
+    assert j.get((0, 5), 0.0) < 0.1
+
+
+def test_simhash_near_dup_buckets(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup_simhash(docs).collect()}
+    assert (0, 1) in pairs  # identical docs share all bands
+    assert (0, 3) in pairs  # 1-word edit -> tiny Hamming distance
+    assert (5, 6) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(200):
+        base = [math.sin(0.1 * i + 0.05 * d) for d in range(16)]
+        rows.append((i, base))
+    # vec 201 = near-clone of vec 0
+    clone = [x + (0.001 if d == 0 else 0.0) for d, x in enumerate(rows[0][1])]
+    rows.append((201, clone))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark, vectors):
+    q = [r for r in vectors.where(F.col("vec_id") == 0).first()["embedding"]]
+    top = brute_force_topk(vectors, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == 1.0
+    assert top[1]["vec_id"] == 201  # the clone ranks second
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+
+
+def test_srp_topk_finds_clone(spark, vectors):
+    q = [r for r in vectors.where(F.col("vec_id") == 0).first()["embedding"]]
+    top = srp_topk(vectors, q, k=5, n_bits=6).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 0 in ids and 201 in ids  # near-identical vectors share the bucket
+
+
+def test_embedding_near_dup(spark, vectors):
+    pairs = embedding_near_dup(vectors, threshold=0.999999, n_bits=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(0, 201)}
+
+
+def test_disjunctive_rewrite_matches_or_join(spark):
+    left = spark.createDataFrame(
+        [(1, "alpha", "x"), (2, "beta", "y"), (3, "gamma", "nomatch"), (4, "nom", "beta")],
+        "id long, name string, symbol string",
+    )
+    right = spark.createDataFrame(
+        [("alpha", "A-meta"), ("beta", "B-meta"), ("delta", "D-meta")],
+        "key string, meta string",
+    )
+    # OR join: name=key OR symbol=key
+    or_join = left.join(
+        F.broadcast(right),
+        (left["name"] == right["key"]) | (left["symbol"] == right["key"]),
+        "left",
+    ).select("id", "meta")
+    rewritten = disjunctive_join_rewrite(
+        left, right, branches=[("name", "key"), ("symbol", "key")], right_cols=["meta"]
+    ).select("id", "meta")
+    a = {(r["id"], r["meta"]) for r in or_join.collect()}
+    b = {(r["id"], r["meta"]) for r in rewritten.collect()}
+    assert a == b
+
+
+def test_missing_dim_keys(spark):
+    fact = spark.createDataFrame([("a",), ("b",), ("c",), ("a",)], "k string")
+    dim = spark.createDataFrame([("a",), ("c",)], "addr string")
+    missing = {r["key"] for r in missing_dim_keys(fact, dim, "k", "addr").collect()}
+    assert missing == {"b"}
+
+
+def test_ohlc_argminmax(spark):
+    import datetime as dt
+
+    rows = [
+        ("x", 10.0, dt.datetime(2024, 1, 1, 9), 1),
+        ("x", 30.0, dt.datetime(2024, 1, 1, 12), 2),
+        ("x", 5.0, dt.datetime(2024, 1, 1, 16), 3),
+        ("x", 20.0, dt.datetime(2024, 1, 2, 9), 4),
+        # tie on ts: id decides
+        ("y", 1.0, dt.datetime(2024, 1, 1, 9), 5),
+        ("y", 2.0, dt.datetime(2024, 1, 1, 9), 6),
+    ]
+    df = spark.createDataFrame(rows, "name string, price double, ts timestamp, id long")
+    res = {
+        (r["name"], str(r["date"])): (r["open"], r["high"], r["low"], r["close"])
+        for r in ohlc(df, "price", "ts", ["name"], "id").collect()
+    }
+    assert res[("x", "2024-01-01")] == (10.0, 30.0, 5.0, 5.0)
+    assert res[("x", "2024-01-02")] == (20.0, 20.0, 20.0, 20.0)
+    assert res[("y", "2024-01-01")] == (1.0, 2.0, 1.0, 2.0)  # tie -> id order
+
+
+def test_double_entry_flip(spark):
+    df = spark.createDataFrame([(1, "a", "b", 10.0)], "id long, src string, dst string, v double")
+    rows = double_entry_flip(df, "src", "dst", "v").orderBy("flipped").collect()
+    assert (rows[0]["src"], rows[0]["dst"], rows[0]["v"], rows[0]["flipped"]) == ("a", "b", 10.0, False)
+    assert (rows[1]["src"], rows[1]["dst"], rows[1]["v"], rows[1]["flipped"]) == ("b", "a", -10.0, True)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, ""), (3, "el que la de y"), (4, "x! y? z.")],
+        "id long, text string",
+    )
+    res = {
+        r["id"]: (r["tok"], r["bpe"], r["lang"], r["q"])
+        for r in df.select(
+            "id",
+            token_count_expr("text").alias("tok"),
+            bpe_ish_token_count_expr("text").alias("bpe"),
+            lang_guess_expr("text").alias("lang"),
+            quality_score_expr("text").alias("q"),
+        ).collect()
+    }
+    assert res[1][0] == 5 and res[1][2] == "en"
+    assert res[2][0] == 0
+    assert res[3][2] == "es"
+    assert res[4][0] == 3 and res[4][1] == 6  # 3 words + 3 punct pieces
+    assert all(0.0 <= v[3] <= 1.0 for v in res.values())

@@ -43,6 +43,8 @@ class CDCJob:
         salted: bool = False,
         salt_n: int = 16,
         lineage: bool = True,
+        write_mode: str = "cow",
+        compact_threshold: int = 8,
     ) -> None:
         self.spark = spark
         self.table = table
@@ -52,6 +54,10 @@ class CDCJob:
         self.salted = salted
         self.salt_n = salt_n
         self.lineage = LineageLog(table.path) if lineage else None
+        self.write_mode = write_mode
+        # MoR read amplification bound: a bucket reaching this many file
+        # generations is compacted right after the batch that tipped it.
+        self.compact_threshold = compact_threshold
 
     @staticmethod
     def batch_id_for(lo: int, hi: int) -> str:
@@ -63,35 +69,121 @@ class CDCJob:
         batch_id = self.batch_id_for(lo, hi)
         if self.checkpoint.is_committed(batch_id):
             return None
-        changes = self.decode(ranged_scan(self.wal, lo, hi))
+        raw = ranged_scan(self.wal, lo, hi)
         manifest = merge_batch(
-            self.table, changes, batch_id, lo, hi,
+            self.table, raw, batch_id, lo, hi,
             salted=self.salted, salt_n=self.salt_n, lineage=self.lineage,
+            mode=self.write_mode, decode_fn=self.decode,
         )
+        if self.write_mode == "mor":
+            from endor_blockchain_data_pipeline_spark.operators.merge import (
+                compact_buckets,
+            )
+
+            due = self.table.multi_gen_buckets(self.compact_threshold)
+            compact_buckets(self.table, self.spark, f"compact-{batch_id}", due)
         self.checkpoint.record(batch_id, hi)
         return manifest
 
-    def run_to_watermark(self, batch_size: int, limit_batches: int | None = None) -> list[dict]:
+    def run_to_watermark(
+        self,
+        batch_size: int,
+        limit_batches: int | None = None,
+        pipeline: int | None = None,
+    ) -> list[dict]:
         """Catch up: sink watermark -> source max in ``batch_size`` steps.
 
         Resume-from-any-checkpoint falls out: the sink watermark IS the
         latest manifest's lsn_hi, so a restarted job continues exactly where
         the last atomic commit left off.
+
+        ``pipeline``: in MoR mode, stage up to this many batches concurrently
+        (their data writes are independent) while commits stay strictly
+        ordered — driver-side serial time (planning, codegen, broadcast
+        build, commit bookkeeping) of batch k+1 overlaps batch k's cluster
+        work. Defaults to 2 for MoR, 1 (serial) for CoW — CoW batch k+1 must
+        read the state k wrote, so it cannot pipeline.
         """
-        results = []
+        if pipeline is None:
+            pipeline = 2 if self.write_mode == "mor" else 1
         lo = self.checkpoint.last_lsn()
         hi_max = source_max(self.wal)
-        n = 0
+        ranges: list[tuple[int, int]] = []
         while lo < hi_max:
             hi = min(lo + batch_size, hi_max)
-            m = self.run_batch(lo, hi)
-            if m is not None:
-                results.append(m)
+            ranges.append((lo, hi))
             lo = hi
-            n += 1
-            if limit_batches is not None and n >= limit_batches:
+            if limit_batches is not None and len(ranges) >= limit_batches:
                 break
+
+        if pipeline <= 1 or self.write_mode != "mor" or len(ranges) <= 1:
+            results = []
+            for lo, hi in ranges:
+                m = self.run_batch(lo, hi)
+                if m is not None:
+                    results.append(m)
+            return results
+        return self._run_pipelined(ranges, pipeline)
+
+    def _run_pipelined(self, ranges: list[tuple[int, int]], depth: int) -> list[dict]:
+        """MoR pipelining: concurrent staging, ordered commits."""
+        import concurrent.futures as cf
+
+        from endor_blockchain_data_pipeline_spark.operators.merge import (
+            commit_staged_batch,
+            compact_buckets,
+            stage_batch_mor,
+        )
+
+        results: list[dict] = []
+        with cf.ThreadPoolExecutor(max_workers=depth) as pool:
+            futures: list[tuple[int, int, str, cf.Future | None]] = []
+            for lo, hi in ranges:
+                batch_id = self.batch_id_for(lo, hi)
+                if self.checkpoint.is_committed(batch_id):
+                    futures.append((lo, hi, batch_id, None))
+                    continue
+                raw = ranged_scan(self.wal, lo, hi)
+                fut = pool.submit(
+                    stage_batch_mor, self.table, raw, batch_id,
+                    salted=self.salted, salt_n=self.salt_n, decode_fn=self.decode,
+                )
+                futures.append((lo, hi, batch_id, fut))
+                # Ordered commit of everything that must land before we are
+                # allowed to run more than `depth` stages ahead.
+                while len([f for _, _, _, f in futures if f is not None and not f.done()]) >= depth:
+                    self._drain_one(futures, results)
+            while futures:
+                self._drain_one(futures, results)
+        # compaction after the pipeline drains (touches committed state)
+        due = self.table.multi_gen_buckets(self.compact_threshold)
+        compact_buckets(self.table, self.spark, f"compact-{ranges[-1][1]}", due)
         return results
+
+    def _drain_one(self, futures: list, results: list) -> None:
+        from endor_blockchain_data_pipeline_spark.operators.merge import (
+            commit_staged_batch,
+        )
+
+        lo, hi, batch_id, fut = futures.pop(0)
+        if fut is None:
+            return
+        staged = fut.result()
+        m = commit_staged_batch(
+            self.table, staged, batch_id, lo, hi,
+            mode="mor", lineage=self.lineage,
+        )
+        self.checkpoint.record(batch_id, hi)
+        results.append(m)
+        # Compaction runs on the commit thread (manifest mutations stay
+        # serialized) while later batches keep staging in the pool.
+        due = self.table.multi_gen_buckets(self.compact_threshold)
+        if due:
+            from endor_blockchain_data_pipeline_spark.operators.merge import (
+                compact_buckets,
+            )
+
+            compact_buckets(self.table, self.spark, f"compact-{batch_id}", due)
 
     def read_state(self) -> DataFrame:
         """Current logical table state (tombstones dropped, internals hidden)."""

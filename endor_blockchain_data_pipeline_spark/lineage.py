@@ -25,44 +25,52 @@ class LineageLog:
         self.path = os.path.join(table_path, "_lineage")
         os.makedirs(self.path, exist_ok=True)
 
-    def record_batch(
+    def record_rows(
         self,
-        state_df: DataFrame,
+        bucket_rows,
         batch_id: str,
         lsn_lo: int,
         lsn_hi: int,
         apply_sec: float,
     ) -> None:
-        """Append per-bucket lineage for one applied batch.
+        """Append per-bucket lineage from already-collected discovery rows.
 
-        ``state_df`` is the batch's new-state rows (internal cols + _bucket).
-        The aggregation is tiny (<= n_buckets rows) — negligible vs the merge.
+        The merge's bucket-discovery job produces these (<= n_buckets) rows
+        anyway; writing them driver-side with pyarrow costs ZERO Spark jobs.
+        Counts are source-side (raw change rows per bucket, pre-LWW-reduce) —
+        the feed-lineage view: "bucket B received n_rows changes (n_deletes
+        deletes) covering LSNs [min_lsn, max_lsn] from batch (lsn_lo, lsn_hi],
+        applied in apply_sec".
         """
-        per_bucket = (
-            state_df.groupBy("_bucket")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("n_deletes"),
-                F.min("_lsn").alias("min_lsn"),
-                F.max("_lsn").alias("max_lsn"),
-            )
-            .select(
-                F.lit(batch_id).alias("batch_id"),
-                F.col("_bucket").alias("bucket"),
-                "n_rows",
-                "n_deletes",
-                "min_lsn",
-                "max_lsn",
-                F.lit(lsn_lo).alias("lsn_lo"),
-                F.lit(lsn_hi).alias("lsn_hi"),
-                F.lit(float(apply_sec)).alias("apply_sec"),
-                F.current_timestamp().alias("recorded_at"),
-            )
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        now = _dt.datetime.now(_dt.timezone.utc)
+
+        def _i(v):
+            return None if v is None else int(v)
+
+        n = len(bucket_rows)
+        tbl = pa.table(
+            {
+                "batch_id": pa.array([batch_id] * n, pa.string()),
+                "bucket": pa.array([_i(r["_bucket"]) for r in bucket_rows], pa.int32()),
+                "n_rows": pa.array([_i(r["n_rows"]) for r in bucket_rows], pa.int64()),
+                "n_deletes": pa.array([_i(r["n_deletes"]) for r in bucket_rows], pa.int64()),
+                "min_lsn": pa.array([_i(r["min_lsn"]) for r in bucket_rows], pa.int64()),
+                "max_lsn": pa.array([_i(r["max_lsn"]) for r in bucket_rows], pa.int64()),
+                "lsn_lo": pa.array([lsn_lo] * n, pa.int64()),
+                "lsn_hi": pa.array([lsn_hi] * n, pa.int64()),
+                "apply_sec": pa.array([float(apply_sec)] * n, pa.float64()),
+                "recorded_at": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
+            }
         )
-        # Deterministic per-batch dir -> replay overwrites, never duplicates.
-        per_bucket.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.path, f"batch-{batch_id}")
-        )
+        # Deterministic per-batch file -> replay overwrites, never duplicates.
+        bdir = os.path.join(self.path, f"batch-{batch_id}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
 
     def read(self, spark: SparkSession) -> DataFrame:
         dirs = [

@@ -60,6 +60,62 @@ def lww_reduce(changes: DataFrame, key_cols: list[str] = KEY_COLS) -> DataFrame:
     )
 
 
+def lww_winner_rows(
+    raw: DataFrame,
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    salted: bool = False,
+    salt_n: int = 16,
+) -> DataFrame:
+    """Within-batch LWW on the RAW (undecoded) feed — the fast path.
+
+    Why not ``max_by(struct(<whole row>), ...)``: an aggregation buffer
+    containing strings can't use Spark's vectorized HashAggregate (string
+    buffers aren't mutable fixed-width), so the wide reduce silently degrades
+    to sort-based aggregation — measured 3x slower. Instead:
+
+      1. narrow winner selection: ``max_by(lsn, struct(lsn, ts))`` per key —
+         a pure fixed-width HashAggregate over three scanned columns (the
+         payload blob is never touched: Catalyst prunes it from this scan);
+      2. join the winning LSNs back to the raw feed — LSNs are unique per
+         change record, and AQE auto-broadcasts the (small) winner set;
+      3. the caller decodes ONLY winner rows — with update-heavy feeds this
+         cuts JSON decode + normalization by the dedup factor.
+
+    Invariant required: ``lsn`` uniquely identifies a change record (it is a
+    log sequence number). Returns the raw winner rows, exactly one per key.
+    """
+    # max(struct(lsn, ts)) — struct of fixed-width fields, lexicographic
+    # ordering == the LWW order, HashAggregate-eligible. The winning lsn is
+    # the struct's first field.
+    order = F.struct(F.col(lsn_col), F.col(ts_col))
+    narrow = raw.select(*key_cols, lsn_col, ts_col)
+    if salted:
+        # two-phase: spread each hot key over salt_n reducers first
+        salt = F.pmod(F.xxhash64(lsn_col), F.lit(salt_n)).cast("int")
+        phase1 = (
+            narrow.withColumn("_salt", salt)
+            .groupBy(*key_cols, "_salt")
+            .agg(F.max(order).alias("_o"))
+        )
+        winners = phase1.groupBy(*key_cols).agg(F.max("_o").alias("_o"))
+    else:
+        winners = narrow.groupBy(*key_cols).agg(F.max(order).alias("_o"))
+    winners = winners.select(F.col("_o").getField(lsn_col).alias("win_lsn"))
+    # Explicit broadcast: the winner set is one long per key (8 bytes x keys
+    # — tens of MB even for 10M-key batches), but past the default 10MB
+    # autoBroadcast threshold AQE would silently flip to a sort-merge join
+    # that SORTS the full raw side (measured 2-3x batch slowdown). Executors
+    # comfortably hold a few hundred MB broadcast; for batches beyond that,
+    # split the batch (smaller lsn ranges), don't shuffle-sort the feed.
+    return raw.join(
+        F.broadcast(winners.select("win_lsn")),
+        raw[lsn_col] == F.col("win_lsn"),
+        "inner",
+    ).drop("win_lsn")
+
+
 def lww_reduce_salted(
     changes: DataFrame, key_cols: list[str] = KEY_COLS, salt_n: int = 16
 ) -> DataFrame:
@@ -97,6 +153,21 @@ def changes_to_state(reduced: DataFrame, batch_id: str) -> DataFrame:
     )
 
 
+def lww_state_merge(combined: DataFrame, key_cols: list[str] = KEY_COLS) -> DataFrame:
+    """LWW across state generations (current ∪ new): narrow winner selection
+    on (_lsn, _mts) then join-back on the globally-unique _lsn — same
+    HashAggregate-friendly shape as ``lww_winner_rows`` (no string buffers)."""
+    winners = (
+        combined.select(*key_cols, "_lsn", "_mts")
+        .groupBy(*key_cols)
+        .agg(F.max(F.struct(F.col("_lsn"), F.col("_mts"))).alias("_o"))
+        .select(F.col("_o._lsn").alias("_win_lsn"))
+    )
+    return combined.join(
+        winners, combined["_lsn"] == winners["_win_lsn"], "inner"
+    ).drop("_win_lsn")
+
+
 def merge_batch(
     table: ManifestTable,
     changes: DataFrame,
@@ -106,72 +177,209 @@ def merge_batch(
     salted: bool = False,
     salt_n: int = 16,
     lineage=None,
+    mode: str = "cow",
+    decode_fn=None,
 ) -> dict:
     """Apply one decoded WAL batch to the table (key-partitioned MERGE).
 
-    1. within-batch LWW reduce (one winner per key);
-    2. route winners to buckets; collect the (small, <= n_buckets) affected
-       bucket list — manifest-level pruning for the read side;
-    3. snapshot-read ONLY those buckets' current rows (internal cols incl.
-       tombstones);
-    4. union current ∪ new and LWW-reduce again — new rows win on higher
-       (lsn, mts); equal keys with stale lsn lose (idempotent re-delivery);
-    5. commit the rewritten buckets atomically.
+    ``mode="cow"`` (copy-on-write): affected buckets are read, LWW-merged
+    with the batch and fully rewritten — reads always see compact state.
+    ``mode="mor"`` (merge-on-read): the batch's per-key winners are appended
+    as a new file generation of their buckets — apply cost is O(changes)
+    instead of O(changes + affected-bucket state); readers merge generations
+    (bounded by compaction, see ``compact_buckets``). At 10^10 events with
+    table >> batch, MoR is the scale path — identical final semantics
+    (property-tested against CoW).
 
-    Returns the commit manifest dict (plus timing in stats).
+    1. **bucket discovery** (cheap job): per-bucket change stats straight off
+       the feed columns (conv_id/op/lsn only) — Catalyst prunes the payload
+       decode + normalization out of this scan entirely, so it reads three
+       parquet columns and nothing else. Yields the affected-bucket list for
+       manifest-level read pruning AND the per-bucket lineage rows.
+    2. **the merge job** (all heavy work, ONE Spark action): decode+normalize
+       -> within-batch LWW reduce -> union with the snapshot-read of ONLY the
+       affected buckets (tombstones included) -> per-key max_by(lsn, mts)
+       -> bucketed parquet write. No persist, no second pass: every row is
+       decoded exactly once, inside the same whole-stage pipeline that writes.
+    3. atomic manifest commit replacing the affected buckets.
+
+    Skew: both reduces are hash aggregates -> map-side partial aggregation
+    collapses hot conversations before the shuffle. ``salted=True`` adds the
+    explicit two-phase reduction for payloads too wide to partial-aggregate.
+
+    Returns the commit manifest dict (timing in stats).
     """
+    import os as _os
+
+    _timing = _os.environ.get("ENDOR_MERGE_TIMING") == "1"
     t0 = time.time()
-    reduced = (lww_reduce_salted(changes, salt_n=salt_n) if salted else lww_reduce(changes))
+
+    # -- 1. bucket discovery (CoW only) -------------------------------------
+    # CoW must know the affected buckets BEFORE planning the merge (it reads
+    # exactly those buckets' current state). The discovery scan touches only
+    # (conv_id, op, lsn) — Catalyst prunes the payload decode entirely.
+    # MoR needs no discovery job at all: the commit's own directory listing
+    # identifies the appended buckets, and per-bucket stats come free from
+    # the parquet footers.
+    bucket_rows = None
+    affected = None
+    n_changes = None
+    if mode != "mor":
+        bucket_rows = (
+            changes.select(
+                bucket_expr(table.bucket_key, table.n_buckets).alias("_bucket"),
+                "op",
+                "lsn",
+            )
+            .groupBy("_bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_deletes"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        )
+        affected = [r["_bucket"] for r in bucket_rows]
+        n_changes = sum(r["n_rows"] for r in bucket_rows)
+        if _timing:
+            print(f"[merge {batch_id}] discovery: {time.time()-t0:.2f}s", flush=True)
+    t1 = time.time()
+
+    # -- 2. one fused job: reduce (narrow) -> decode winners -> merge -> write
+    if decode_fn is not None:
+        # Fast path: ``changes`` is the RAW feed slice. Narrow winner
+        # selection touches only (key, lsn, ts); the payload decode +
+        # normalization run on WINNER rows only.
+        winner_raw = lww_winner_rows(changes, salted=salted, salt_n=salt_n)
+        reduced = decode_fn(winner_raw)
+    else:
+        # ``changes`` already decoded (compat path for pre-decoded feeds).
+        reduced = (
+            lww_reduce_salted(changes, salt_n=salt_n) if salted else lww_reduce(changes)
+        )
     new_state = changes_to_state(reduced, batch_id).withColumn(
         "_bucket", bucket_expr(table.bucket_key, table.n_buckets)
     )
-    # Persist: used for the bucket list, the merge union, and stats.
-    new_state.persist()
-    try:
-        affected = [r["_bucket"] for r in new_state.select("_bucket").distinct().collect()]
-        n_changes = new_state.count()
+    if mode == "mor" or table.manifest() is None:
+        merged = new_state
+    else:
+        current = table.read(
+            table_spark(new_state), buckets=affected, with_internal=True
+        ).withColumn("_bucket", bucket_expr(table.bucket_key, table.n_buckets))
+        combined = current.unionByName(new_state, allowMissingColumns=True)
+        merged = lww_state_merge(combined)
 
-        if table.manifest() is None:
-            merged = new_state
+    staged = table.stage(merged, batch_id)
+    if _timing:
+        print(f"[merge {batch_id}] stage: {time.time()-t1:.2f}s", flush=True)
+    return commit_staged_batch(
+        table, staged, batch_id, lsn_lo, lsn_hi,
+        affected=affected, bucket_rows=bucket_rows, n_changes=n_changes,
+        mode=mode, lineage=lineage, t_start=t0,
+    )
+
+
+def commit_staged_batch(
+    table: ManifestTable,
+    staged: dict,
+    batch_id: str,
+    lsn_lo: int,
+    lsn_hi: int,
+    affected=None,
+    bucket_rows=None,
+    n_changes=None,
+    mode: str = "cow",
+    lineage=None,
+    t_start: float | None = None,
+) -> dict:
+    """Publish a staged batch: manifest commit + lineage + stats (driver-side,
+    milliseconds). Pipelined callers invoke this strictly in batch order."""
+    stats = {
+        "n_changes": n_changes,
+        "n_affected_buckets": len(affected) if affected is not None else None,
+        "apply_sec": None,  # filled below
+    }
+    manifest = table.commit_staged(
+        staged, batch_id, lsn_lo, lsn_hi,
+        replaced_buckets=affected, stats=stats,
+        mode="append" if mode == "mor" else "replace",
+    )
+    apply_sec = round(time.time() - (t_start if t_start is not None else time.time()), 3)
+    manifest["stats"]["apply_sec"] = apply_sec
+    if lineage is not None:
+        if bucket_rows is not None:
+            # CoW: source-side per-bucket stats from the discovery scan.
+            rows = bucket_rows
         else:
-            current = table.read(
-                table_spark(new_state), buckets=affected, with_internal=True
-            ).withColumn("_bucket", bucket_expr(table.bucket_key, table.n_buckets))
-            combined = current.unionByName(new_state, allowMissingColumns=True)
-            payload = [c for c in combined.columns if c not in KEY_COLS]
-            merged = (
-                combined.groupBy(*KEY_COLS)
-                .agg(
-                    F.max_by(
-                        F.struct(*[F.col(c) for c in payload]),
-                        F.struct(F.col("_lsn"), F.col("_mts")),
-                    ).alias("_w")
-                )
-                .select(*KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in payload])
-            )
+            # MoR: per-bucket winner-row stats straight from parquet footers.
+            rows = [
+                {
+                    "_bucket": int(b),
+                    "n_rows": s["n_rows"],
+                    "n_deletes": None,  # winners only; see batch total in stats
+                    "min_lsn": s["min_lsn"],
+                    "max_lsn": s["max_lsn"],
+                }
+                for b, s in manifest.get("new_bucket_stats", {}).items()
+            ]
+        lineage.record_rows(rows, batch_id, lsn_lo, lsn_hi, apply_sec)
+    return manifest
 
-        stats = {
-            "n_changes": n_changes,
-            "n_affected_buckets": len(affected),
-            "apply_sec": None,  # filled below
-        }
-        manifest = table.commit(
-            merged, batch_id=batch_id, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
-            replaced_buckets=affected, stats=stats,
-        )
-        apply_sec = round(time.time() - t0, 3)
-        manifest["stats"]["apply_sec"] = apply_sec
-        if lineage is not None:
-            # new_state is still persisted — lineage agg is a cheap reuse.
-            lineage.record_batch(new_state, batch_id, lsn_lo, lsn_hi, apply_sec)
-        return manifest
-    finally:
-        new_state.unpersist()
+
+def stage_batch_mor(
+    table: ManifestTable,
+    raw: DataFrame,
+    batch_id: str,
+    salted: bool = False,
+    salt_n: int = 16,
+    decode_fn=None,
+) -> dict:
+    """Stage (write, don't publish) one MoR batch — the pipelinable half.
+
+    MoR batches are mutually independent until the manifest commit (appends
+    never read current state), so several can stage concurrently; commits
+    then happen in order. CoW batches CANNOT pipeline: batch k+1's merge
+    reads the state written by k.
+    """
+    from endor_blockchain_data_pipeline_spark.functions.decode import decode_changes
+
+    decode = decode_fn or decode_changes
+    winner_raw = lww_winner_rows(raw, salted=salted, salt_n=salt_n)
+    reduced = decode(winner_raw)
+    new_state = changes_to_state(reduced, batch_id).withColumn(
+        "_bucket", bucket_expr(table.bucket_key, table.n_buckets)
+    )
+    return table.stage(new_state, batch_id)
 
 
 def table_spark(df: DataFrame):
     """SparkSession of a DataFrame (4.x API)."""
     return df.sparkSession
+
+
+def compact_buckets(
+    table: ManifestTable, spark, batch_id: str, buckets: list[int]
+) -> dict | None:
+    """Fold multi-generation (MoR) buckets back to a single generation.
+
+    Reads the merged view of the given buckets (tombstones preserved) and
+    commits it as their replacement — bounded read amplification: with
+    compaction threshold K, a reader merges at most K generations per
+    bucket. Idempotent via the batch_id skip-list like any other commit.
+    """
+    if not buckets:
+        return None
+    if batch_id in table.committed_batches():
+        return None
+    merged = table.read(spark, buckets=buckets, with_internal=True).withColumn(
+        "_bucket", bucket_expr(table.bucket_key, table.n_buckets)
+    )
+    m = table.manifest()
+    return table.commit(
+        merged, batch_id=batch_id, lsn_lo=m["lsn_lo"], lsn_hi=m["lsn_hi"],
+        replaced_buckets=buckets, stats={"compaction": True, "n_buckets_compacted": len(buckets)},
+    )
 
 
 def compact(table: ManifestTable, batch_id: str) -> dict:

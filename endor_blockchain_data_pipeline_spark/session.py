@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Local mode: generous driver memory (the sandbox has 128 GiB).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Shuffle/spill scratch on tmpfs: the sandbox's single virtio disk
+        # throttles concurrent shuffle writers; production clusters put this
+        # on local NVMe. Override with SPARK_LOCAL_DIRS for disk-backed runs.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-scratch"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -186,10 +186,14 @@ class ManifestTable:
         if m is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         schema = _schema_from_json(m["schema"])
+        gens = m.get("bucket_gens", {})
         files: list[str] = []
+        needs_merge = False
         for b, flist in m["buckets"].items():
             if buckets is None or int(b) in set(buckets):
                 files.extend(os.path.join(self.path, f) for f in flist)
+                if gens.get(b, 1) > 1:
+                    needs_merge = True
         if not files:
             df = spark.createDataFrame([], schema)
         else:
@@ -200,9 +204,30 @@ class ManifestTable:
             df = df.where(F.col("_batch").isin(batch_ids))
         if exclude_batch_ids is not None:
             df = df.where(~F.col("_batch").isin(exclude_batch_ids))
+        if needs_merge:
+            # Merge-on-read: LWW across file generations — narrow winner
+            # selection (fixed-width HashAggregate) + join-back on the
+            # globally-unique _lsn; tombstone winners survive as tombstones.
+            key_cols = list(m.get("key_cols", self.key_cols))
+            winners = (
+                df.select(*key_cols, "_lsn", "_mts")
+                .groupBy(*key_cols)
+                .agg(F.max(F.struct(F.col("_lsn"), F.col("_mts"))).alias("_o"))
+                .select(F.col("_o._lsn").alias("_win_lsn"))
+            )
+            df = df.join(winners, df["_lsn"] == winners["_win_lsn"], "inner").drop(
+                "_win_lsn"
+            )
         if not with_internal:
             df = df.where(~F.col("_deleted")).drop(*INTERNAL_COLS)
         return df
+
+    def multi_gen_buckets(self, threshold: int = 2) -> list[int]:
+        """Buckets whose generation count >= threshold (compaction queue)."""
+        m = self.manifest()
+        if m is None:
+            return []
+        return [int(b) for b, g in m.get("bucket_gens", {}).items() if g >= threshold]
 
     # ---------------- write path ----------------
 
@@ -214,63 +239,141 @@ class ManifestTable:
         lsn_hi: int,
         replaced_buckets: list[int] | None,
         stats: dict | None = None,
+        mode: str = "replace",
     ) -> dict:
-        """Atomically commit ``df`` as the new content of ``replaced_buckets``.
+        """Atomically commit ``df`` into the table.
+
+        ``mode="replace"`` (copy-on-write / compaction): the new files become
+        the ONLY content of ``replaced_buckets`` (None = whole table).
+        ``mode="append"`` (merge-on-read): the new files are appended as an
+        extra *generation* of their buckets; readers LWW-merge generations.
 
         Protocol (the delete-inbox-then-append dance done right):
           1. write data files under a fresh ``data/<uuid>/`` directory,
              hash-partitioned by ``_bucket`` (dir-per-bucket);
-          2. build the next manifest = previous buckets - replaced + new;
+          2. build the next manifest = previous buckets -/+ new files;
           3. ``os.rename`` the manifest into place (the commit point).
         A crash before (3) leaves orphan files that no reader sees; replay of
         the same batch_id is skipped upstream via ``committed_batches``.
-        ``replaced_buckets=None`` replaces the whole table (full overwrite).
         """
-        if batch_id in self.committed_batches():
-            raise ValueError(f"batch {batch_id!r} already committed (idempotency violation)")
+        staged = self.stage(df, batch_id)
+        return self.commit_staged(
+            staged, batch_id, lsn_lo, lsn_hi, replaced_buckets, stats, mode
+        )
+
+    def stage(self, df: DataFrame, batch_id: str) -> dict:
+        """Write the batch's data files WITHOUT committing them.
+
+        This is the heavy, fully-parallel part — safe to run concurrently for
+        several batches (pipelining): staged files are invisible until a
+        manifest references them. Returns the staged-state handle for
+        ``commit_staged``.
+        """
         if "_bucket" not in df.columns:
             df = df.withColumn("_bucket", bucket_expr(self.bucket_key, self.n_buckets))
 
+        import concurrent.futures as _cf
+        import time as _time
+
+        _timing = os.environ.get("ENDOR_MERGE_TIMING") == "1"
+        _t0 = _time.time()
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self._data_dir, commit_id)
         # partitionBy gives dir-per-bucket; repartition by _bucket first so a
         # bucket's rows land in few files (AQE coalesces small shuffles).
         df.repartition("_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(commit_dir)
+        if _timing:
+            print(f"[commit {batch_id}] write: {_time.time()-_t0:.2f}s", flush=True)
 
         # Collect the written files per bucket (driver-side listing of ONE
         # commit dir — bounded by this batch's bucket count, not table size).
-        new_buckets: dict[str, list[str]] = {}
-        for entry in os.listdir(commit_dir):
-            if not entry.startswith("_bucket="):
-                continue
+        # Per-bucket row counts and _lsn ranges come free from the parquet
+        # footers — no Spark job needed; footers read in a thread pool.
+        import pyarrow.parquet as _pq
+
+        def _stat_bucket(entry: str):
             b = entry.split("=", 1)[1]
             bdir = os.path.join(commit_dir, entry)
-            new_buckets[b] = [
-                os.path.relpath(os.path.join(bdir, f), self.path)
-                for f in os.listdir(bdir)
-                if f.endswith(".parquet")
-            ]
+            files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+            rel = [os.path.relpath(os.path.join(bdir, f), self.path) for f in files]
+            n_rows, mn, mx = 0, None, None
+            for f in files:
+                md = _pq.ParquetFile(os.path.join(bdir, f)).metadata
+                n_rows += md.num_rows
+                try:
+                    idx = md.schema.names.index("_lsn")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            mn = st.min if mn is None else min(mn, st.min)
+                            mx = st.max if mx is None else max(mx, st.max)
+                except ValueError:
+                    pass
+            return b, rel, {"n_rows": n_rows, "min_lsn": mn, "max_lsn": mx}
 
-        data_schema = T.StructType(
-            [f for f in df.schema.fields if f.name != "_bucket"]
-        )
+        entries = [e for e in os.listdir(commit_dir) if e.startswith("_bucket=")]
+        new_buckets: dict[str, list[str]] = {}
+        bucket_stats: dict[str, dict] = {}
+        with _cf.ThreadPoolExecutor(max_workers=16) as pool:
+            for b, rel, st in pool.map(_stat_bucket, entries):
+                new_buckets[b] = rel
+                bucket_stats[b] = st
+
+        data_schema = T.StructType([f for f in df.schema.fields if f.name != "_bucket"])
+        return {
+            "new_buckets": new_buckets,
+            "bucket_stats": bucket_stats,
+            "data_schema": data_schema,
+        }
+
+    def commit_staged(
+        self,
+        staged: dict,
+        batch_id: str,
+        lsn_lo: int,
+        lsn_hi: int,
+        replaced_buckets: list[int] | None,
+        stats: dict | None = None,
+        mode: str = "replace",
+    ) -> dict:
+        """Publish staged files atomically (manifest build + rename).
+
+        Driver-side only, milliseconds. Callers pipelining multiple batches
+        MUST call this in batch order — the commit lock serializes version
+        assignment, ordering is the caller's contract (a later batch
+        committed first would advance the watermark over a gap).
+        """
+        if batch_id in self.committed_batches():
+            raise ValueError(f"batch {batch_id!r} already committed (idempotency violation)")
+        new_buckets = staged["new_buckets"]
+        bucket_stats = staged["bucket_stats"]
+        data_schema = staged["data_schema"]
         prev = self.manifest()
         if prev is None:
             buckets = new_buckets
             schema = data_schema
+            gens = {b: 1 for b in new_buckets}
             total = 0
         else:
             schema = merge_schemas(_schema_from_json(prev["schema"]), data_schema)
-            buckets = dict(prev["buckets"])
-            replaced = (
-                set(str(b) for b in replaced_buckets)
-                if replaced_buckets is not None
-                else set(buckets)
-            )
-            for b in replaced:
-                buckets.pop(b, None)
-            for b, fl in new_buckets.items():
-                buckets[b] = fl
+            buckets = {b: list(fl) for b, fl in prev["buckets"].items()}
+            gens = dict(prev.get("bucket_gens", {b: 1 for b in buckets}))
+            if mode == "append":
+                for b, fl in new_buckets.items():
+                    buckets[b] = buckets.get(b, []) + fl
+                    gens[b] = gens.get(b, 0) + 1
+            else:
+                replaced = (
+                    set(str(b) for b in replaced_buckets)
+                    if replaced_buckets is not None
+                    else set(buckets)
+                )
+                for b in replaced:
+                    buckets.pop(b, None)
+                    gens.pop(b, None)
+                for b, fl in new_buckets.items():
+                    buckets[b] = fl
+                    gens[b] = 1
             total = prev.get("total_commits", 0)
 
         version = self.current_version() + 1
@@ -281,13 +384,15 @@ class ManifestTable:
             "lsn_hi": lsn_hi,
             "schema": _schema_to_json(schema),
             "buckets": buckets,
+            "bucket_gens": gens,
             "n_buckets": self.n_buckets,
             "key_cols": list(self.key_cols),
             "bucket_key": self.bucket_key,
             "stats": stats or {},
+            "new_bucket_stats": bucket_stats,
             "total_commits": total + 1,
         }
-        tmp = os.path.join(self._manifest_dir, f".tmp-{commit_id}.json")
+        tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
         final = os.path.join(self._manifest_dir, f"v{version:08d}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)

@@ -1,0 +1,86 @@
+"""Merge-on-read mode: equivalence with copy-on-write, compaction bounds,
+resume, idempotency."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from endor_blockchain_data_pipeline_spark.functions.decode import decode_changes
+from endor_blockchain_data_pipeline_spark.job import CDCJob, brute_force_state
+from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+from endor_blockchain_data_pipeline_spark.sources.wal import generate_wal
+
+from tests.conftest import assert_df_equal
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def wal(spark):
+    return generate_wal(spark, N, n_convs=48, max_turns=6, seed=99).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, wal):
+    return brute_force_state(decode_changes(wal)).cache()
+
+
+def test_mor_equals_oracle_and_cow(spark, wal, oracle, tmp_path):
+    mor_t = ManifestTable(str(tmp_path / "mor"), n_buckets=8)
+    mor = CDCJob(spark, mor_t, wal, write_mode="mor", compact_threshold=100)
+    mor.run_to_watermark(batch_size=500)
+    assert_df_equal(mor.read_state(), oracle)
+    # no compaction happened: buckets really are multi-generation
+    assert len(mor_t.multi_gen_buckets(2)) > 0
+
+    cow_t = ManifestTable(str(tmp_path / "cow"), n_buckets=8)
+    cow = CDCJob(spark, cow_t, wal, write_mode="cow")
+    cow.run_to_watermark(batch_size=500)
+    assert_df_equal(mor.read_state(), cow.read_state())
+
+
+def test_mor_auto_compaction_bounds_generations(spark, wal, oracle, tmp_path):
+    t = ManifestTable(str(tmp_path / "mor"), n_buckets=4)
+    job = CDCJob(spark, t, wal, write_mode="mor", compact_threshold=3)
+    job.run_to_watermark(batch_size=300)  # 10 batches
+    # every bucket stays under the threshold after auto-compaction
+    assert t.multi_gen_buckets(3) == []
+    assert_df_equal(job.read_state(), oracle)
+    # compaction commits are recorded and idempotent
+    assert any(b.startswith("compact-") for b in t.committed_batches())
+
+
+def test_mor_resume(spark, wal, oracle, tmp_path):
+    t = ManifestTable(str(tmp_path / "mor"), n_buckets=8)
+    job1 = CDCJob(spark, t, wal, write_mode="mor", compact_threshold=4)
+    job1.run_to_watermark(batch_size=700, limit_batches=2)
+
+    t2 = ManifestTable(str(tmp_path / "mor"), n_buckets=8)
+    job2 = CDCJob(spark, t2, wal, write_mode="mor", compact_threshold=4)
+    assert job2.checkpoint.last_lsn() == 1399
+    job2.run_to_watermark(batch_size=700)
+    assert_df_equal(job2.read_state(), oracle)
+
+
+def test_mor_delete_tombstones_survive_generations(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (0, "insert", "cA", 0, b'{"role":"user","text":"v1","ts":"2024-01-01 00:00:00"}'),
+        (1, "insert", "cB", 0, b'{"role":"user","text":"b1","ts":"2024-01-01 00:00:01"}'),
+        (2, "delete", "cA", 0, None),
+        (3, "update", "cB", 0, b'{"role":"user","text":"b2","ts":"2024-01-01 00:00:03"}'),
+    ]
+    wal = spark.createDataFrame(
+        [(l, o, c, t_, p, dt.datetime(2024, 1, 1, 0, 0, l)) for (l, o, c, t_, p) in rows],
+        "lsn long, op string, conv_id string, turn_idx int, payload binary, ts timestamp",
+    )
+    t = ManifestTable(str(tmp_path / "m"), n_buckets=2)
+    job = CDCJob(spark, t, wal, write_mode="mor", compact_threshold=100)
+    job.run_batch(-1, 1)   # gen1: cA=v1, cB=b1
+    job.run_batch(1, 3)    # gen2: cA deleted, cB=b2
+    state = {(r.conv_id, r.turn_idx): r.text for r in job.read_state().collect()}
+    assert state == {("cB", 0): "b2"}  # delete won across generations
+    raw = t.read(spark, with_internal=True)
+    assert raw.where(F.col("_deleted")).count() == 1  # tombstone is the winner

@@ -321,6 +321,69 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, qvec, k=10)
 
 
+def q_schema_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-style cast projection: string/decimal/epoch round-trips."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("val_dec"),
+        # testdata timestamps are NTZ; via LTZ under the UTC session they
+        # cast to the same epoch seconds DuckDB's epoch() returns.
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("epoch_s"),
+        F.to_date("ts").alias("day"),
+    )
+
+
+def q_scaled_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 big-decimal rescale: value/10^2 at decimal(38,18), 3dp."""
+    from endor_blockchain_data_pipeline_spark.functions.decode import scaled_decimal_expr
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", scaled_decimal_expr("value", 2, scale=4).alias("val_scaled")
+    )
+
+
+def q_trim_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 trimName: >16-char names truncate to 13 chars, trailing '-' strip."""
+    from endor_blockchain_data_pipeline_spark.functions.decode import trim_name_expr
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.col("p_name"), trim_name_expr("p_name").alias("short_name")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-12-shingle Jaccard for consecutive doc pairs (0..19)."""
+    from endor_blockchain_data_pipeline_spark.operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = spark.range(0, 19).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    return ngram_jaccard(d, pairs, "text", "doc_id", k_shingle=12)
+
+
+def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs among vec_id < 80, cosine >= 0.2."""
+    from endor_blockchain_data_pipeline_spark.operators.similarity import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 80)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.2)
+    )
+
+
 # -------------------------------------------- non-SQL-expressible (no oracle)
 
 
@@ -368,6 +431,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "ann_topk": q_ann_topk,
+        "schema_projection_cast": q_schema_projection_cast,
+        "scaled_decimal": q_scaled_decimal,
+        "trim_names": q_trim_names,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "cosine_pairs_exact": q_cosine_pairs_exact,
         "simhash_candidates": q_simhash_candidates,
         "srp_ann_topk": q_srp_ann_topk,
     }
@@ -530,6 +598,57 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
               FROM scored)
             WHERE rank <= 10
+        """,
+        "schema_projection_cast": """
+            SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,
+                   CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS val_dec,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   CAST(ts AS DATE) AS day
+            FROM events
+        """,
+        "scaled_decimal": """
+            SELECT event_id,
+                   CAST(round(CAST(value AS DECIMAL(38,18)) / CAST(100 AS DECIMAL(38,0)), 4) AS DOUBLE) AS val_scaled
+            FROM events
+        """,
+        "trim_names": """
+            SELECT p_partkey, p_name,
+                   CASE WHEN len(p_name) > 16
+                        THEN regexp_replace(substr(p_name, 1, 13), '-+$', '')
+                        ELSE p_name END AS short_name
+            FROM part
+        """,
+        "ngram_jaccard_pairs": """
+            WITH pairs AS (
+              SELECT i AS id_a, i + 1 AS id_b
+              FROM UNNEST(range(0, 19)) AS t(i)),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS sh
+              FROM documents,
+                   UNNEST(range(1, greatest(len(text) - 11, 1) + 1)) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN sh a ON a.doc_id = p.id_a
+              JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+              GROUP BY p.id_a, p.id_b)
+            SELECT i.id_a, i.id_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+        """,
+        "cosine_pairs_exact": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 80)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        6) >= 0.2
         """,
         # quality_langid: the Spark-side quality formula is a long but pure
         # arithmetic chain — mirrored here verbatim.

@@ -170,13 +170,22 @@ def trim_name_expr(col: Column | str, max_len: int = 16, keep: int = 13) -> Colu
     ).otherwise(c)
 
 
-def scaled_decimal_expr(raw: Column | str, decimals: Column | str, precision: int = 15, scale: int = 3) -> Column:
+def scaled_decimal_expr(
+    raw: Column | str, decimals: Column | str | int, precision: int = 15, scale: int = 3
+) -> Column:
     """Big-integer decimal rescale: value / 10^decimals, bounded precision.
 
-    Analog of ``ByteArrayUtil.scala:3-12`` (bytes->BigInt->scaled Double):
-    done as DecimalType(38,18) arithmetic in the JVM instead of Python ints.
+    Analog of ``ByteArrayUtil.scala:3-12`` (bytes->BigInt->scaled Double).
+    With a CONSTANT exponent the whole computation stays in exact
+    DecimalType arithmetic (deterministic rounding — Spark's ``round`` on
+    doubles rounds the shortest decimal string, which no other engine
+    matches); with a per-row exponent column it falls back to double math.
     """
     r = F.col(raw) if isinstance(raw, str) else raw
+    if isinstance(decimals, int):
+        divisor = F.lit(10 ** decimals).cast(T.DecimalType(38, 0))
+        val = r.cast(T.DecimalType(38, 18)) / divisor
+        return F.round(val, scale).cast("double")
     d = F.col(decimals) if isinstance(decimals, str) else decimals
     val = r.cast(T.DecimalType(38, 18)) / F.pow(F.lit(10.0), d.cast("int"))
     return F.round(val.cast("double"), scale)

@@ -86,23 +86,25 @@ def lww_winner_rows(
     Invariant required: ``lsn`` uniquely identifies a change record (it is a
     log sequence number). Returns the raw winner rows, exactly one per key.
     """
-    # max(struct(lsn, ts)) — struct of fixed-width fields, lexicographic
-    # ordering == the LWW order, HashAggregate-eligible. The winning lsn is
-    # the struct's first field.
-    order = F.struct(F.col(lsn_col), F.col(ts_col))
-    narrow = raw.select(*key_cols, lsn_col, ts_col)
+    # Winner = max(lsn) per key: LSNs are globally unique (they are log
+    # sequence numbers), so the (lsn, ts) LWW order collapses to lsn alone
+    # for SELECTION — and a bare long max is a true HashAggregate. Even
+    # max(struct(lsn, ts)) plans as SortAggregate (struct agg buffers are
+    # not mutable-width); the ts tiebreak lives only in the generic
+    # ``lww_reduce`` used for feeds without the uniqueness guarantee.
+    narrow = raw.select(*key_cols, lsn_col)
     if salted:
         # two-phase: spread each hot key over salt_n reducers first
         salt = F.pmod(F.xxhash64(lsn_col), F.lit(salt_n)).cast("int")
         phase1 = (
             narrow.withColumn("_salt", salt)
             .groupBy(*key_cols, "_salt")
-            .agg(F.max(order).alias("_o"))
+            .agg(F.max(lsn_col).alias(lsn_col))
         )
-        winners = phase1.groupBy(*key_cols).agg(F.max("_o").alias("_o"))
+        winners = phase1.groupBy(*key_cols).agg(F.max(lsn_col).alias("win_lsn"))
     else:
-        winners = narrow.groupBy(*key_cols).agg(F.max(order).alias("_o"))
-    winners = winners.select(F.col("_o").getField(lsn_col).alias("win_lsn"))
+        winners = narrow.groupBy(*key_cols).agg(F.max(lsn_col).alias("win_lsn"))
+    winners = winners.select("win_lsn")
     # Explicit broadcast: the winner set is one long per key (8 bytes x keys
     # — tens of MB even for 10M-key batches), but past the default 10MB
     # autoBroadcast threshold AQE would silently flip to a sort-merge join
@@ -158,13 +160,13 @@ def lww_state_merge(combined: DataFrame, key_cols: list[str] = KEY_COLS) -> Data
     on (_lsn, _mts) then join-back on the globally-unique _lsn — same
     HashAggregate-friendly shape as ``lww_winner_rows`` (no string buffers)."""
     winners = (
-        combined.select(*key_cols, "_lsn", "_mts")
+        combined.select(*key_cols, "_lsn")
         .groupBy(*key_cols)
-        .agg(F.max(F.struct(F.col("_lsn"), F.col("_mts"))).alias("_o"))
-        .select(F.col("_o._lsn").alias("_win_lsn"))
+        .agg(F.max("_lsn").alias("_win_lsn"))
+        .select("_win_lsn")
     )
     return combined.join(
-        winners, combined["_lsn"] == winners["_win_lsn"], "inner"
+        F.broadcast(winners), combined["_lsn"] == winners["_win_lsn"], "inner"
     ).drop("_win_lsn")
 
 

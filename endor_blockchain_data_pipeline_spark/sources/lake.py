@@ -210,14 +210,14 @@ class ManifestTable:
             # globally-unique _lsn; tombstone winners survive as tombstones.
             key_cols = list(m.get("key_cols", self.key_cols))
             winners = (
-                df.select(*key_cols, "_lsn", "_mts")
+                df.select(*key_cols, "_lsn")
                 .groupBy(*key_cols)
-                .agg(F.max(F.struct(F.col("_lsn"), F.col("_mts"))).alias("_o"))
-                .select(F.col("_o._lsn").alias("_win_lsn"))
+                .agg(F.max("_lsn").alias("_win_lsn"))
+                .select("_win_lsn")
             )
-            df = df.join(winners, df["_lsn"] == winners["_win_lsn"], "inner").drop(
-                "_win_lsn"
-            )
+            df = df.join(
+                F.broadcast(winners), df["_lsn"] == winners["_win_lsn"], "inner"
+            ).drop("_win_lsn")
         if not with_internal:
             df = df.where(~F.col("_deleted")).drop(*INTERNAL_COLS)
         return df

@@ -106,7 +106,7 @@ def run_cdc_at(cores: int, workdir: str, wal_path: str) -> tuple[float, list]:
     from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
 
     spark = get_spark(
-        f"bench-cdc-{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
+        f"bench-cdc-{cores}", master=f"local[{cores}]", shuffle_partitions=max(2 * cores, 8)
     )
     wal = spark.read.parquet(wal_path)
 

@@ -216,12 +216,17 @@ if __name__ == "__main__":
     ap.add_argument("--table", default="/tmp/endor_cdc_table")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--salted", action="store_true")
+    ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    ap.add_argument("--compact-threshold", type=int, default=8)
     args = ap.parse_args()
 
     spark = get_spark("endor-cdc-job")
     wal = generate_wal(spark, args.events, n_convs=args.convs)
     table = ManifestTable(args.table, n_buckets=args.buckets)
-    job = CDCJob(spark, table, wal, salted=args.salted)
+    job = CDCJob(
+        spark, table, wal, salted=args.salted,
+        write_mode=args.mode, compact_threshold=args.compact_threshold,
+    )
     t0 = time.time()
     commits = job.run_to_watermark(args.batch_size)
     dt = time.time() - t0

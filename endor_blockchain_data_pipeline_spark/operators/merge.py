@@ -384,20 +384,16 @@ def compact_buckets(
     )
 
 
-def compact(table: ManifestTable, batch_id: str) -> dict:
-    """Full-table compaction: drop tombstones, rewrite every bucket.
+def compact(table: ManifestTable, spark, batch_id: str) -> dict:
+    """Full-table compaction: fold all generations AND drop tombstones.
 
-    Run once late replays are impossible (WAL watermark passed); restores
-    minimal storage. Commits a snapshot replacing ALL buckets.
+    Run once late replays are impossible (the feed's watermark has passed
+    every tombstone's LSN); restores minimal storage. Commits a snapshot
+    replacing ALL buckets; follow with ``table.vacuum()`` to reclaim files.
     """
-    spark = None
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
     live = table.read(spark, with_internal=True).where(~F.col("_deleted"))
-    m = table.commit(
+    return table.commit(
         live, batch_id=batch_id,
         lsn_lo=table.manifest()["lsn_lo"], lsn_hi=table.watermark(),
-        replaced_buckets=None, stats={"compaction": True},
+        replaced_buckets=None, stats={"compaction": True, "tombstones_dropped": True},
     )
-    return m

@@ -84,3 +84,21 @@ def test_mor_delete_tombstones_survive_generations(spark, tmp_path):
     assert state == {("cB", 0): "b2"}  # delete won across generations
     raw = t.read(spark, with_internal=True)
     assert raw.where(F.col("_deleted")).count() == 1  # tombstone is the winner
+
+
+def test_full_compact_drops_tombstones(spark, wal, oracle, tmp_path):
+    from endor_blockchain_data_pipeline_spark.operators.merge import compact
+
+    t = ManifestTable(str(tmp_path / "mor"), n_buckets=4)
+    job = CDCJob(spark, t, wal, write_mode="mor", compact_threshold=100)
+    job.run_to_watermark(batch_size=1000)
+    raw_before = t.read(spark, with_internal=True)
+    assert raw_before.where(F.col("_deleted")).count() > 0
+    compact(t, spark, "full-compact-1")
+    raw_after = t.read(spark, with_internal=True)
+    assert raw_after.where(F.col("_deleted")).count() == 0
+    assert t.multi_gen_buckets(2) == []
+    assert_df_equal(t.read(spark), oracle)
+    removed = t.vacuum()
+    assert removed > 0
+    assert_df_equal(t.read(spark), oracle)

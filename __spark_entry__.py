@@ -384,7 +384,7 @@ def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -------------------------------------------- non-SQL-expressible (no oracle)
+# ------------------------------------- hash-bucketed near-dup / ANN (md5-portable)
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,6 +396,83 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
     return srp_topk(e, qvec, k=10, n_bits=8)
+
+
+def _build_simhash_sql(band_bits: int = 16) -> str:
+    """DuckDB mirror of operators/dedup.py::simhash_bands + the band join.
+
+    Same md5-per-token bit votes; band values composed per 16-bit band so no
+    64-bit signed packing exists on either engine.
+    """
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN ({nib(b // 4)} & {1 << (b % 4)}) > 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    n_bands = 64 // band_bits
+    band_cols = []
+    for j in range(n_bands):
+        terms = " + ".join(
+            f"(CASE WHEN v{j * band_bits + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(band_bits)
+        )
+        band_cols.append(f"({terms}) AS b{j}")
+    band_union = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, b{j} AS band_val FROM sim" for j in range(n_bands)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, md5(t) AS h
+          FROM documents,
+               UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(t)
+          WHERE len(t) > 0),
+        votes AS (
+          SELECT doc_id,
+               {votes}
+          FROM toks GROUP BY doc_id),
+        sim AS (SELECT doc_id, {', '.join(band_cols)} FROM votes),
+        bands AS ({band_union})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    """
+
+
+def _build_srp_topk_sql(k: int = 10, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB mirror of operators/similarity.py::srp_topk.
+
+    The ±1 hyperplane weights come from the same srp_weights() (md5-derived,
+    pure Python) and are embedded as array literals, so both engines project
+    onto literally identical hyperplanes.
+    """
+    from endor_blockchain_data_pipeline_spark.operators.similarity import srp_weights
+
+    weights = srp_weights(n_bits, dim, seed)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in w)}]) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, w in enumerate(weights)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
+        q AS (SELECT v AS qv, sig AS qsig FROM sig WHERE vec_id = 0),
+        cand AS (
+          SELECT s.vec_id,
+                 round(list_dot_product(s.v, q.qv) /
+                       (sqrt(list_dot_product(s.v, s.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+          FROM sig s, q WHERE s.sig = q.qsig)
+        SELECT vec_id, cos_sim, rank FROM (
+          SELECT vec_id, cos_sim,
+                 row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM cand)
+        WHERE rank <= {k}
+    """
 
 
 # ---------------------------------------------------------------- contract
@@ -512,7 +589,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM events)
             SELECT event_type, count(*) AS n,
                    CAST(SUM(CAST(val2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled,
-                   SUM(CASE WHEN val2 = 0.0 THEN 1 ELSE 0 END) AS n_was_null
+                   -- CAST: DuckDB SUM(int) yields HUGEINT, which pandas-coerces
+                   -- to float64 ("3.0") while Spark emits int64 ("3") — the
+                   -- r1 driver hash failure. BIGINT keeps both sides integral.
+                   CAST(SUM(CASE WHEN val2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_was_null
             FROM e GROUP BY event_type
         """,
         "date_truncation": """
@@ -564,9 +644,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT lang,
-                   SUM(CASE WHEN len(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
-                   SUM(n_chars) AS total_chars, count(*) AS n_docs
+                   -- CAST AS BIGINT: avoid DuckDB's HUGEINT sum type (see
+                   -- na_handling note) so the driver's hash sees int64 on
+                   -- both engines.
+                   CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
             FROM documents GROUP BY lang
         """,
         "dedup_exact": """
@@ -653,9 +736,10 @@ def oracle_sql() -> dict[str, str]:
         # quality_langid: the Spark-side quality formula is a long but pure
         # arithmetic chain — mirrored here verbatim.
         "quality_langid": _SQL_QUALITY_LANGID,
-        # simhash_candidates / srp_ann_topk: hash recipes use engine-native
-        # xxhash64 / 64-bit aggregate folds — not reasonably SQL-expressible;
-        # the driver records rows-only checks for them.
+        # simhash / SRP: md5-portable hash recipes, SQL generated to mirror
+        # the Spark operators bit-for-bit (weights/votes identical).
+        "simhash_candidates": _build_simhash_sql(band_bits=16),
+        "srp_ann_topk": _build_srp_topk_sql(k=10, n_bits=8, dim=64, seed=42),
     }
 
 

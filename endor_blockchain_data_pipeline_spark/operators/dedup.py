@@ -22,7 +22,7 @@ shape (explode -> partial agg -> band groupBy) is unchanged.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 from endor_blockchain_data_pipeline_spark.functions.text import char_shingles, fingerprint_expr
 
@@ -150,44 +150,55 @@ def ngram_jaccard(
     )
 
 
-def simhash_expr(text_col: Column | str, n_bits: int = 64) -> Column:
-    """64-bit SimHash from word tokens, as a bigint column expression.
+def simhash_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """(id, band_idx, band_val) rows of a 64-bit SimHash split into bands.
 
-    Each token votes its md5-derived bit pattern; bit b of the simhash is 1
-    iff the sum of (2*bit-1) votes is positive. Expressed with aggregate()
-    over the token array — stays in codegen, no UDF. Near-dup docs have
-    small Hamming distance; bucketing on 16-bit bands finds them.
+    Each word token votes its md5-derived bit pattern; bit b of the simhash
+    is 1 iff the sum of (2*bit−1) votes is positive. Plan shape built for
+    scale: explode tokens → md5 ONCE per token → 16 nibble ints → one
+    groupBy(id) with 64 fixed-width integer SUMs (HashAggregate with
+    map-side combine — shingle fan-out never crosses the shuffle) → band
+    values composed per 16-bit band (no 64-bit packing, so no 1<<63
+    two's-complement wrap and the whole recipe is portable SQL — the
+    DuckDB oracle mirrors it verbatim). posexplode emits the n_bands rows
+    in a single pass. Docs with zero tokens have no signature (no rows).
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: F.length(x) > 0)
-    # votes[b] = sum over tokens of +-1 depending on bit b of md5(token).
-    # conv(md5 hex nibble-chunk, 16, 10) gives 4 bits at a time.
-    bits = []
-    for b in range(n_bits):
-        nibble = b // 4  # which hex char of the md5 carries this bit
-        bitpos = b % 4
-        vote = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.conv(F.substring(F.md5(t), nibble + 1, 1), 16, 10).cast("int")
-                .bitwiseAND(F.lit(1 << bitpos))
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        # shiftleft wraps at bit 63 (two's complement) — 2**63 won't fit a
-        # positive long literal.
-        bits.append(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    total = bits[0]
-    for x in bits[1:]:
-        total = total + x
-    return total
+    c = F.lower(F.trim(F.col(text_col)))
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(c, r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = F.md5(F.col("tok"))
+    # nib{i} = integer value of hex char i of md5(token): 16 nibbles = 64 bits.
+    nibs = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"nib{i}")
+            for i in range(16)
+        ],
+    )
+    votes = nibs.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"nib{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) > 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    n_bands = 64 // band_bits
+    band_vals = []
+    for j in range(n_bands):
+        val = F.lit(0)
+        for i in range(band_bits):
+            b = j * band_bits + i
+            val = val + F.when(F.col(f"v{b}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        band_vals.append(val.cast("int"))
+    return votes.select(
+        id_col, F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val")
+    )
 
 
 def dedup_simhash(
@@ -198,19 +209,7 @@ def dedup_simhash(
     For 64-bit simhash and 16-bit bands, docs within Hamming distance 3 are
     guaranteed to share >= 1 band (pigeonhole).
     """
-    with_sh = df.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
-    n_bands = 64 // band_bits
-    bands = None
-    for b in range(n_bands):
-        piece = with_sh.select(
-            id_col,
-            "simhash",
-            F.lit(b).alias("band_idx"),
-            F.shiftrightunsigned(F.col("simhash"), b * band_bits)
-            .bitwiseAND(F.lit((1 << band_bits) - 1))
-            .alias("band_val"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    bands = simhash_bands(df, text_col, id_col, band_bits)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(

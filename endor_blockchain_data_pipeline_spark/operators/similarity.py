@@ -2,17 +2,25 @@
 
 - Brute-force cosine top-k: the exact baseline. Dot products as
   ``aggregate(zip_with(...))`` column expressions — JVM-side, codegen'd,
-  no UDF; one pass over the table, a single top-k reduction.
-- LSH-bucketed ANN (random hyperplane / SRP): scale path. Each vector gets
-  a B-bit signature from fixed pseudo-random hyperplanes (hash-derived, no
-  stored model); queries only score vectors sharing a signature bucket.
-  At 100 TB the bucket join replaces the full scan; recall is tuned by
-  n_tables x n_bits.
+  no UDF; one pass over the table, then ``ORDER BY ... LIMIT k`` which
+  Spark plans as TakeOrderedAndProject (per-partition heap + driver merge)
+  — no global sort, no single-task shuffle.
+- LSH-bucketed ANN (signed random projection / SRP): the scale path. Each
+  vector gets a B-bit signature from fixed pseudo-random hyperplanes whose
+  ±1 weights derive from md5(seed:bit:dim) — computed ONCE in Python and
+  embedded as literal arrays, so signature evaluation is a pure fused
+  zip_with/aggregate fold (no per-row hashing) and the identical weights
+  are reproducible in any engine (the DuckDB correctness oracle included).
+  Queries only score vectors sharing a signature bucket; at 100 TB the
+  bucket join replaces the full scan and recall is tuned by n_tables ×
+  n_bits.
 - IVF-style variant: coarse k-means is overkill without a training step;
   SRP buckets give the same read-pruning shape deterministically.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
@@ -37,6 +45,19 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Top-k of (id, cos_sim) with a dense ``rank`` column.
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject — each partition
+    keeps a k-row heap, the driver merges heaps; nothing resembling the
+    single-task global-window sort survives. The row_number window after the
+    limit runs over ≤ k rows (one tiny task) purely to materialize ``rank``.
+    """
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(id_col, "cos_sim", "rank")
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -46,47 +67,67 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector.
 
-    Single map stage computes cosine; top-k via window rank ordered by
-    (-cos, id) — ties broken by id for determinism. At scale replace the
-    global window with ``ORDER BY cos DESC LIMIT k`` (Spark's TakeOrdered)
-    — same result, no full sort.
+    Single map stage computes cosine; top-k via TakeOrderedAndProject with
+    (-cos, id) ordering — ties broken by id for determinism.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim"),
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "cos_sim", "rank")
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
-def srp_signature_expr(vec_col: Column | str, n_bits: int = 16, seed: int = 42) -> Column:
-    """Signed-random-projection signature as an int column.
+def srp_weights(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """±1 hyperplane weights, reproducible in any engine.
 
-    Hyperplane h_b has pseudo-random ±1 weights per dimension derived from
-    xxhash64(seed, b, dim) — no stored model, identical on every executor.
-    bit b = 1 iff sum_d w[b][d] * v[d] > 0.
+    weight[b][d] = +1 if the last hex nibble of md5("srp:{seed}:{b}:{d}")
+    is even, else −1. Pure Python (hashlib) so the DuckDB oracle can embed
+    the exact same constants; no stored model, no executor-side hashing.
+    """
+    out = []
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"srp:{seed}:{b}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[-1], 16) % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def srp_signature_py(vec: list[float], weights: list[list[float]]) -> int:
+    """Driver-side signature of a literal vector — same left fold order as
+    the Spark expression, so float64 results are bit-identical."""
+    sig = 0
+    for b, w in enumerate(weights):
+        acc = 0.0
+        for x, wd in zip(vec, w):
+            acc += float(x) * wd
+        if acc > 0:
+            sig |= 1 << b
+    return sig
+
+
+def srp_signature_expr(
+    vec_col: Column | str, weights: list[list[float]]
+) -> Column:
+    """SRP signature as an int column: bit b = 1 iff dot(v, w[b]) > 0.
+
+    Weights are array literals — the projection is a codegen'd zip_with +
+    sequential aggregate fold per bit, no hashing in the hot path.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     total = F.lit(0).cast("long")
-    for b in range(n_bits):
-        # weight(d) = +1 if xxhash64(seed,b,d) even else -1, expressed over
-        # the vector's index array via transform+aggregate.
+    for b, w in enumerate(weights):
+        warr = F.array(*[F.lit(x) for x in w])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, d: x.cast("double")
-                * F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(b), d), 2) == 0, 1.0).otherwise(-1.0),
-            ),
+            F.zip_with(v, warr, lambda x, wd: x.cast("double") * wd),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        total = total + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        total = total + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return total
 
 
@@ -102,27 +143,20 @@ def srp_topk(
     """ANN top-k: score only vectors whose SRP bucket matches the query's.
 
     The candidate set is the query's bucket (expected n/2^bits of the data);
-    exact cosine ranks within it. Recall < 1 by construction — the bench
-    compares it against brute force for the recall/latency tradeoff.
+    exact cosine ranks within it via TakeOrderedAndProject. Recall < 1 by
+    construction — the bench compares it against brute force for the
+    recall/latency tradeoff. The query's own signature is computed on the
+    driver (same fold order ⇒ bit-identical float64), zero extra Spark jobs.
     """
-    # One-row DF computes the query's signature with the IDENTICAL column
-    # expression (xxhash64 lives JVM-side; no driver reimplementation drift).
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(query_vec,)], f"{vec_col} array<double>")
-    qsig = qdf.select(srp_signature_expr(vec_col, n_bits, seed).alias("s")).first()["s"]
+    weights = srp_weights(n_bits, len(query_vec), seed)
+    qsig = srp_signature_py(query_vec, weights)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    bucketed = df.withColumn("_sig", srp_signature_expr(vec_col, n_bits, seed))
-    cands = bucketed.where(F.col("_sig") == F.lit(qsig))
+    cands = df.where(srp_signature_expr(vec_col, weights) == F.lit(qsig))
     scored = cands.select(
         F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "cos_sim", "rank")
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 def embedding_near_dup(
@@ -132,15 +166,20 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     n_bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, SRP-bucketed.
 
     Self-join only within SRP buckets (near-identical vectors share buckets
     with high probability), then exact cosine filter. The all-pairs O(n^2)
-    never materializes.
+    never materializes. ``dim`` defaults to the first row's vector length
+    (one tiny driver lookup).
     """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    weights = srp_weights(n_bits, dim, seed)
     sigs = df.select(
-        F.col(id_col), F.col(vec_col), srp_signature_expr(vec_col, n_bits, seed).alias("_sig")
+        F.col(id_col), F.col(vec_col), srp_signature_expr(vec_col, weights).alias("_sig")
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = a.join(

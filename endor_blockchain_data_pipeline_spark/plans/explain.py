@@ -56,6 +56,28 @@ def uses_hash_aggregate(df: DataFrame) -> bool:
     return "HashAggregate" in plan and "SortAggregate" not in plan
 
 
+def uses_take_ordered(df: DataFrame) -> bool:
+    """True if top-k runs as TakeOrderedAndProject (per-partition heap +
+    driver merge) — the scale-safe alternative to a global-window sort."""
+    return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def global_window_over_full_input(df: DataFrame) -> bool:
+    """True if an unpartitioned Window sits BELOW the top-k truncation —
+    i.e. every input row shuffles into one task for a full sort. A tiny
+    window above a TakeOrdered/Limit (≤ k rows) does not count."""
+    plan = physical_plan(df)
+    win_at = plan.find("Window")
+    if win_at < 0:
+        return False
+    below = plan[win_at:]  # physical plans print children below the parent
+    has_scan = "Scan" in below
+    has_limit = any(
+        op in below for op in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+    )
+    return has_scan and not has_limit
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen stages ("*(n)" markers in simple mode)."""
     import re

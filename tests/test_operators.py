@@ -142,6 +142,39 @@ def test_disjunctive_rewrite_matches_or_join(spark):
     assert a == b
 
 
+def test_disjunctive_rewrite_null_payload(spark):
+    """A matched right row whose FIRST payload column is NULL must still
+    count as matched (marker-based detection, r1 VERDICT #4)."""
+    left = spark.createDataFrame(
+        [(1, "alpha", "zz"), (2, "nope", "beta"), (3, "none", "none")],
+        "id long, name string, symbol string",
+    )
+    right = spark.createDataFrame(
+        [("alpha", None, 10), ("beta", "B-meta", 20)],
+        "key string, meta string, score int",
+    )
+    rewritten = disjunctive_join_rewrite(
+        left,
+        right,
+        branches=[("name", "key"), ("symbol", "key")],
+        right_cols=["meta", "score"],
+    ).collect()
+    by_id = {r["id"]: (r["meta"], r["score"]) for r in rewritten}
+    # id 1 matched alpha on branch 0: meta is legitimately NULL, score kept
+    assert by_id[1] == (None, 10)
+    assert by_id[2] == ("B-meta", 20)
+    assert by_id[3] == (None, None)
+    # inner mode keeps matched rows even when their payload is NULL
+    inner = disjunctive_join_rewrite(
+        left,
+        right,
+        branches=[("name", "key"), ("symbol", "key")],
+        right_cols=["meta", "score"],
+        how="inner",
+    ).collect()
+    assert sorted(r["id"] for r in inner) == [1, 2]
+
+
 def test_missing_dim_keys(spark):
     fact = spark.createDataFrame([("a",), ("b",), ("c",), ("a",)], "k string")
     dim = spark.createDataFrame([("a",), ("c",)], "addr string")

@@ -69,6 +69,25 @@ def test_decode_stays_in_codegen(spark, wal_parquet):
     assert codegen_stage_count(decode_changes(wal_parquet)) >= 1
 
 
+def test_topk_plans_take_ordered(spark):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heap), never
+    an unpartitioned Window sorting the full scored input in one task."""
+    from endor_blockchain_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        srp_topk,
+    )
+    from endor_blockchain_data_pipeline_spark.plans.explain import (
+        global_window_over_full_input,
+        uses_take_ordered,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    for df in (brute_force_topk(emb, q, k=10), srp_topk(emb, q, k=10, n_bits=8)):
+        assert uses_take_ordered(df)
+        assert not global_window_over_full_input(df)
+
+
 def test_media_features(spark):
     media = synthesize_media(spark, n=48, seed=3)
     imgs = media.where(F.col("kind") == "image").count()

@@ -33,7 +33,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # No rounding: the driver hashes exact values; any float divergence
+        # between Spark and DuckDB must surface here too (VERDICT r1 §wrong.5).
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, bool):
@@ -82,14 +84,25 @@ def main() -> int:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t).upper() for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
         problems = []
+        # HUGEINT / DECIMAL / unsigned outputs pandas-coerce to float64 or
+        # Decimal on the driver while Spark emits int64 — guaranteed hash
+        # mismatch even when values are equal (r1 na_handling/token_stats).
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if t.startswith(("HUGEINT", "DECIMAL", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"))
+        ]
+        if bad_types:
+            problems.append(f"oracle output types unsafe for driver hash: {bad_types}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):

@@ -141,17 +141,17 @@ class CDCJob:
             for lo, hi in ranges:
                 batch_id = self.batch_id_for(lo, hi)
                 if self.checkpoint.is_committed(batch_id):
-                    futures.append((lo, hi, batch_id, None))
+                    futures.append((lo, hi, batch_id, None, None))
                     continue
                 raw = ranged_scan(self.wal, lo, hi)
                 fut = pool.submit(
                     stage_batch_mor, self.table, raw, batch_id,
                     salted=self.salted, salt_n=self.salt_n, decode_fn=self.decode,
                 )
-                futures.append((lo, hi, batch_id, fut))
+                futures.append((lo, hi, batch_id, fut, time.time()))
                 # Ordered commit of everything that must land before we are
                 # allowed to run more than `depth` stages ahead.
-                while len([f for _, _, _, f in futures if f is not None and not f.done()]) >= depth:
+                while len([f for _, _, _, f, _ in futures if f is not None and not f.done()]) >= depth:
                     self._drain_one(futures, results)
             while futures:
                 self._drain_one(futures, results)
@@ -165,13 +165,13 @@ class CDCJob:
             commit_staged_batch,
         )
 
-        lo, hi, batch_id, fut = futures.pop(0)
+        lo, hi, batch_id, fut, t_sub = futures.pop(0)
         if fut is None:
             return
         staged = fut.result()
         m = commit_staged_batch(
             self.table, staged, batch_id, lo, hi,
-            mode="mor", lineage=self.lineage,
+            mode="mor", lineage=self.lineage, t_start=t_sub,
         )
         self.checkpoint.record(batch_id, hi)
         results.append(m)

@@ -155,10 +155,30 @@ def changes_to_state(reduced: DataFrame, batch_id: str) -> DataFrame:
     )
 
 
-def lww_state_merge(combined: DataFrame, key_cols: list[str] = KEY_COLS) -> DataFrame:
-    """LWW across state generations (current ∪ new): narrow winner selection
-    on (_lsn, _mts) then join-back on the globally-unique _lsn — same
-    HashAggregate-friendly shape as ``lww_winner_rows`` (no string buffers)."""
+def lww_state_merge(
+    combined: DataFrame, key_cols: list[str] = KEY_COLS, strategy: str = "broadcast"
+) -> DataFrame:
+    """LWW across state generations (current ∪ new).
+
+    ``strategy="broadcast"``: narrow winner selection on max(_lsn) then
+    join-back on the globally-unique _lsn — same HashAggregate-friendly
+    shape as ``lww_winner_rows`` (no string buffers). Safe while the winner
+    set fits an executor (one long per key).
+    ``strategy="window"``: row_number per key over (_lsn, _mts) desc — one
+    shuffle, nothing broadcast; the scale path when the affected key count
+    is large or unknown (mirrors ``ManifestTable.read``'s strategy switch).
+    """
+    if strategy == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("_lsn").desc(), F.col("_mts").desc()
+        )
+        return (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     winners = (
         combined.select(*key_cols, "_lsn")
         .groupBy(*key_cols)
@@ -270,7 +290,16 @@ def merge_batch(
             table_spark(new_state), buckets=affected, with_internal=True
         ).withColumn("_bucket", bucket_expr(table.bucket_key, table.n_buckets))
         combined = current.unionByName(new_state, allowMissingColumns=True)
-        merged = lww_state_merge(combined)
+        # Pick the merge strategy from manifest stats, like the read path:
+        # broadcast only when affected-state + batch rows provably fit.
+        m0 = table.manifest()
+        est = ManifestTable._selected_row_estimate(m0, {str(b) for b in affected})
+        small = (
+            est is not None
+            and n_changes is not None
+            and est + n_changes <= ManifestTable.MERGE_BROADCAST_ROW_LIMIT
+        )
+        merged = lww_state_merge(combined, strategy="broadcast" if small else "window")
 
     staged = table.stage(merged, batch_id)
     if _timing:
@@ -297,18 +326,22 @@ def commit_staged_batch(
 ) -> dict:
     """Publish a staged batch: manifest commit + lineage + stats (driver-side,
     milliseconds). Pipelined callers invoke this strictly in batch order."""
+    # apply_sec is computed BEFORE the manifest is fsync'd so the persisted
+    # manifest records the real timing (it only misses the final ms-scale
+    # rename itself), not null.
+    apply_sec = (
+        round(time.time() - t_start, 3) if t_start is not None else None
+    )
     stats = {
         "n_changes": n_changes,
         "n_affected_buckets": len(affected) if affected is not None else None,
-        "apply_sec": None,  # filled below
+        "apply_sec": apply_sec,
     }
     manifest = table.commit_staged(
         staged, batch_id, lsn_lo, lsn_hi,
         replaced_buckets=affected, stats=stats,
         mode="append" if mode == "mor" else "replace",
     )
-    apply_sec = round(time.time() - (t_start if t_start is not None else time.time()), 3)
-    manifest["stats"]["apply_sec"] = apply_sec
     if lineage is not None:
         if bucket_rows is not None:
             # CoW: source-side per-bucket stats from the discovery scan.

@@ -169,7 +169,9 @@ def test_time_travel_and_vacuum(spark, wal, tmp_path):
     v1_rows = job.table.read(spark, version=1).count()
     v2_rows = job.table.read(spark).count()
     assert v1_rows > 0 and v2_rows >= v1_rows
-    removed = job.table.vacuum()
+    # default grace period protects young (possibly staged) commit dirs:
+    assert job.table.vacuum() == 0
+    removed = job.table.vacuum(grace_sec=0)
     assert removed > 0  # v1's rewritten buckets got cleaned
     assert job.table.read(spark).count() == v2_rows  # latest snapshot intact
 

@@ -86,6 +86,70 @@ def test_mor_delete_tombstones_survive_generations(spark, tmp_path):
     assert raw.where(F.col("_deleted")).count() == 1  # tombstone is the winner
 
 
+def test_mor_window_merge_no_broadcast(spark, wal, oracle, tmp_path):
+    """The window merge path must produce the same state with NO broadcast
+    in the plan — the 100-TB read path (r1 VERDICT scale-killer #1)."""
+    from endor_blockchain_data_pipeline_spark.plans.explain import physical_plan
+
+    t = ManifestTable(str(tmp_path / "mor"), n_buckets=8)
+    job = CDCJob(spark, t, wal, write_mode="mor", compact_threshold=100)
+    job.run_to_watermark(batch_size=500)
+    assert len(t.multi_gen_buckets(2)) > 0
+
+    win = t.read(spark, merge_strategy="window")
+    assert "Broadcast" not in physical_plan(win)
+    assert_df_equal(win, oracle)
+    # auto with a forced 0 threshold must also choose the window path
+    t.MERGE_BROADCAST_ROW_LIMIT = 0
+    auto = t.read(spark)
+    assert "Broadcast" not in physical_plan(auto)
+    assert_df_equal(auto, oracle)
+    # both strategies agree on internal rows too (tombstones, lsn)
+    del t.MERGE_BROADCAST_ROW_LIMIT
+    assert_df_equal(
+        t.read(spark, with_internal=True, merge_strategy="window"),
+        t.read(spark, with_internal=True, merge_strategy="broadcast"),
+    )
+
+
+def test_watermark_never_regresses(spark, tmp_path):
+    """Out-of-LSN-order commits (streaming file order) must not move the
+    watermark backwards — else replay re-applies committed ranges."""
+    import datetime as dt
+
+    t = ManifestTable(str(tmp_path / "wm"), n_buckets=2)
+    df = spark.createDataFrame(
+        [("cA", 0, "user", "x", None, dt.datetime(2024, 1, 1), 5, dt.datetime(2024, 1, 1), False, "b1")],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, _lsn long, _mts timestamp, _deleted boolean, _batch string",
+    )
+    t.commit(df, "hi-range", lsn_lo=100, lsn_hi=200, replaced_buckets=None, mode="append")
+    assert t.watermark() == 200
+    t.commit(df, "lo-range", lsn_lo=0, lsn_hi=100, replaced_buckets=None, mode="append")
+    assert t.watermark() == 200  # running max, not latest commit's hi
+
+
+def test_committed_batches_reads_only_latest_manifest(spark, wal, tmp_path):
+    """O(1) registry: the cumulative batch-id list lives in the latest
+    manifest; historical manifest files are never re-read."""
+    import os
+
+    t = ManifestTable(str(tmp_path / "reg"), n_buckets=4)
+    job = CDCJob(spark, t, wal, write_mode="mor", compact_threshold=100)
+    job.run_to_watermark(batch_size=1000)  # 3 commits
+    ids = t.committed_batches()
+    assert len(ids) == 3
+    # destroy every manifest except the latest: the registry must survive,
+    # proving committed_batches() never opens the older files.
+    t2 = ManifestTable(str(tmp_path / "reg"), n_buckets=4)
+    mdir = os.path.join(str(tmp_path / "reg"), "_manifests")
+    keep = sorted(os.listdir(mdir))[-1]
+    for f in os.listdir(mdir):
+        if f != keep:
+            os.rename(os.path.join(mdir, f), os.path.join(mdir, f + ".hidden"))
+    assert t2.committed_batches() == ids
+
+
 def test_full_compact_drops_tombstones(spark, wal, oracle, tmp_path):
     from endor_blockchain_data_pipeline_spark.operators.merge import compact
 
@@ -99,6 +163,6 @@ def test_full_compact_drops_tombstones(spark, wal, oracle, tmp_path):
     assert raw_after.where(F.col("_deleted")).count() == 0
     assert t.multi_gen_buckets(2) == []
     assert_df_equal(t.read(spark), oracle)
-    removed = t.vacuum()
+    removed = t.vacuum(grace_sec=0)
     assert removed > 0
     assert_df_equal(t.read(spark), oracle)

@@ -321,6 +321,88 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, qvec, k=10)
 
 
+def q_na_drop_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 ``na.drop`` on required columns (TokenRatesAggregationDriver.scala:92)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("val2"),
+    )
+    return ev.na.drop(subset=["etype", "val2"])
+
+
+def q_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ``first`` in group (TokenRatesAggregationDriver.scala:67-68) —
+    deterministic because the picked column is functionally dependent on the
+    group key, exactly like the reference's first(metaName) per rateName."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        "user_id",
+    )
+    return ev.groupBy("conv_id").agg(
+        F.first("user_id").alias("uid"), F.count("*").alias("n")
+    )
+
+
+def q_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 hex/byte scalar ops (EthereumTokensPipeline.scala:43,142-151)."""
+    ev = _t(spark, sf_dir, "events")
+    hexed = F.hex(F.encode(F.col("event_type"), "UTF-8"))
+    return ev.select(
+        "event_id",
+        hexed.alias("hex_op"),
+        F.lower(hexed).alias("hex_op_lc"),
+        F.decode(F.unhex(hexed), "UTF-8").alias("roundtrip"),
+        F.hex(F.col("event_id")).alias("hex_id"),
+    )
+
+
+def q_conv_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 stats-reporter reduce (ElasticsearchDataStatsReporter.scala:92-108):
+    per-conversation sums + deduped union of per-row item lists, columnar."""
+    from endor_blockchain_data_pipeline_spark.operators.stats import stats_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.lit(1).alias("one"),
+        F.col("value").cast("decimal(18,2)").alias("val_dec"),
+        F.array(
+            F.col("event_type"),
+            F.concat(F.lit("g"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")),
+        ).alias("items"),
+    )
+    r = stats_rollup(
+        ev, ["conv_id"], {"n_events": "one", "sum_val_dec": "val_dec"},
+        "items", "tools",
+    )
+    return r.select(
+        "conv_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_val_dec").cast("double").alias("sum_val"),
+        F.array_join("tools", ",").alias("tools_used"),
+    )
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banded candidate pairs — bucketed self-join, no all-pairs."""
+    from endor_blockchain_data_pipeline_spark.operators.dedup import minhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidates(d, "text", "doc_id", k_shingle=12, n_hashes=4, n_bands=2)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed embedding near-dup pairs (cosine >= 0.15 within bucket)."""
+    from endor_blockchain_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(e, threshold=0.15, n_bits=8, seed=42, dim=64)
+
+
 def q_schema_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-style cast projection: string/decimal/epoch round-trips."""
     ev = _t(spark, sf_dir, "events")
@@ -442,8 +524,8 @@ def _build_simhash_sql(band_bits: int = 16) -> str:
     """
 
 
-def _build_srp_topk_sql(k: int = 10, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """DuckDB mirror of operators/similarity.py::srp_topk.
+def _srp_sig_terms(n_bits: int, dim: int, seed: int) -> str:
+    """The SRP signature as a SQL expression over ``v`` (DOUBLE[]).
 
     The ±1 hyperplane weights come from the same srp_weights() (md5-derived,
     pure Python) and are embedded as array literals, so both engines project
@@ -452,11 +534,16 @@ def _build_srp_topk_sql(k: int = 10, n_bits: int = 8, dim: int = 64, seed: int =
     from endor_blockchain_data_pipeline_spark.operators.similarity import srp_weights
 
     weights = srp_weights(n_bits, dim, seed)
-    sig_terms = " + ".join(
+    return " + ".join(
         f"(CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in w)}]) > 0 "
         f"THEN {1 << b} ELSE 0 END)"
         for b, w in enumerate(weights)
     )
+
+
+def _build_srp_topk_sql(k: int = 10, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB mirror of operators/similarity.py::srp_topk."""
+    sig_terms = _srp_sig_terms(n_bits, dim, seed)
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         sig AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
@@ -472,6 +559,24 @@ def _build_srp_topk_sql(k: int = 10, n_bits: int = 8, dim: int = 64, seed: int =
                  row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
           FROM cand)
         WHERE rank <= {k}
+    """
+
+
+def _build_embedding_near_dup_sql(
+    threshold: float, n_bits: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB mirror of operators/similarity.py::embedding_near_dup."""
+    sig_terms = _srp_sig_terms(n_bits, dim, seed)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+          FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
     """
 
 
@@ -508,6 +613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "ann_topk": q_ann_topk,
+        "na_drop_required": q_na_drop_required,
+        "first_in_group": q_first_in_group,
+        "hex_roundtrip": q_hex_roundtrip,
+        "conv_stats_rollup": q_conv_stats_rollup,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
         "schema_projection_cast": q_schema_projection_cast,
         "scaled_decimal": q_scaled_decimal,
         "trim_names": q_trim_names,
@@ -682,6 +793,55 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 10
         """,
+        "na_drop_required": """
+            SELECT event_id, event_type AS etype, value AS val2
+            FROM events WHERE event_type <> 'error' AND value >= 5
+        """,
+        "first_in_group": """
+            SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                   first(user_id) AS uid, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "hex_roundtrip": """
+            SELECT event_id,
+                   hex(encode(event_type)) AS hex_op,
+                   lower(hex(encode(event_type))) AS hex_op_lc,
+                   decode(unhex(hex(encode(event_type)))) AS roundtrip,
+                   hex(event_id) AS hex_id
+            FROM events
+        """,
+        "conv_stats_rollup": """
+            WITH ev AS (
+              SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(value AS DECIMAL(18,2)) AS val_dec,
+                     [event_type, 'g' || CAST(event_id % 5 AS VARCHAR)] AS items
+              FROM events)
+            SELECT conv_id,
+                   CAST(SUM(1) AS BIGINT) AS n_events,
+                   CAST(SUM(val_dec) AS DOUBLE) AS sum_val,
+                   array_to_string(list_sort(list_distinct(flatten(list(items)))), ',') AS tools_used
+            FROM ev GROUP BY conv_id
+        """,
+        "lsh_candidate_pairs": """
+            WITH sh AS (
+              SELECT doc_id, substr(text, CAST(i AS INTEGER), 12) AS sh
+              FROM documents,
+                   UNNEST(range(1, greatest(len(text) - 11, 1) + 1)) AS t(i)),
+            sigs AS (
+              SELECT doc_id,
+                     min(md5('h0:' || sh)) AS mh0, min(md5('h1:' || sh)) AS mh1,
+                     min(md5('h2:' || sh)) AS mh2, min(md5('h3:' || sh)) AS mh3
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_key FROM sigs)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        """,
+        "embedding_near_dup": _build_embedding_near_dup_sql(0.15, n_bits=8, dim=64, seed=42),
         "schema_projection_cast": """
             SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,
                    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS val_dec,

@@ -6,11 +6,13 @@ as Arrow-batched ``mapInPandas`` (one Python worker pass per partition, no
 per-row overhead), sized so each Arrow batch holds a bounded number of
 media blobs (``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are deterministic fakes behind ``_decode_image_stub`` etc. —
+Image/video codecs (PIL/ffmpeg) are NOT in this container, so those decode
+kernels are deterministic fakes behind ``_decode_image_stub`` etc. —
 clearly marked; the Spark-side plumbing (schemas, batching, partitioning,
 UDF signatures) is real and tested. Swap the stub body for a real codec and
-nothing else changes.
+nothing else changes. The AUDIO path is fully real: ``extract_audio_
+features`` parses actual RIFF/WAV containers with the stdlib ``wave``
+module (sample rate, channels, true duration, RMS from the PCM frames).
 
 Scale notes: media rows are large — repartition by size (``target_rows_per
 _partition``) before a decode pass so one straggler blob doesn't serialize
@@ -90,6 +92,103 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             "duration_ms"
         ),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_wav(media_id: int, seed: int = 42, sample_rate: int = 8000) -> bytes:
+    """A REAL (playable) 16-bit mono WAV blob: a deterministic sine tone
+    whose frequency/length/amplitude derive from (media_id, seed)."""
+    import io
+    import math
+    import struct as _struct
+    import wave
+
+    freq = 200 + (media_id * 37 + seed) % 1800
+    n = 400 + (media_id * 97) % 400  # 50-100ms at 8kHz
+    amp = 8000 + (media_id * 53) % 20000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = b"".join(
+            _struct.pack(
+                "<h", int(amp * math.sin(2 * math.pi * freq * i / sample_rate))
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def synthesize_audio_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
+    """Media table of REAL WAV blobs (driver-built test fixture, like the
+    reference's checked-in .bin block files)."""
+    rows = []
+    for i in range(n):
+        blob = synthesize_wav(i, seed)
+        rows.append((i, "audio", "audio/wav", bytearray(blob), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """audio rows -> REAL decoded features, Arrow-batched via mapInPandas.
+
+    Parses the RIFF/WAV container with the stdlib ``wave`` module and
+    computes RMS over the PCM samples — an actual media decode kernel (not
+    a stub), proving the multimodal plumbing end-to-end.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import struct as _struct
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+                    sr = w.getframerate()
+                    ch = w.getnchannels()
+                    ns = w.getnframes()
+                    raw = w.readframes(ns)
+                samples = _struct.unpack(f"<{ns * ch}h", raw)
+                rms = math.sqrt(sum(s * s for s in samples) / len(samples)) if samples else 0.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": sr,
+                        "n_channels": ch,
+                        "n_samples": ns,
+                        "duration_ms": int(ns * 1000 / sr),
+                        "rms": rms,
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels",
+                    "n_samples", "duration_ms", "rms",
+                ],
+            )
+            for c in ("sample_rate", "n_channels", "n_samples", "duration_ms"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    auds = media.where(F.col("kind") == "audio").select("media_id", "data")
+    return auds.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
 def _decode_image_stub(data: bytes) -> dict:

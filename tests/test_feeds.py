@@ -1,4 +1,5 @@
-"""Feed backends: parquet dir and JSON drops expose the same WAL contract."""
+"""Feed backends: parquet dir, JSON drops, and binary block files expose
+the same WAL contract."""
 
 from __future__ import annotations
 
@@ -6,7 +7,12 @@ import json
 
 import pyspark.sql.functions as F
 
-from endor_blockchain_data_pipeline_spark.sources.feeds import JsonDirFeed, ParquetFeed
+from endor_blockchain_data_pipeline_spark.sources.feeds import (
+    BinaryDirFeed,
+    JsonDirFeed,
+    ParquetFeed,
+    write_binary_drops,
+)
 from endor_blockchain_data_pipeline_spark.sources.wal import generate_wal, write_wal_batches
 
 
@@ -43,3 +49,43 @@ def test_json_dir_feed_contract(spark, tmp_path):
     dec = decode_changes(feed.scan(-1, 39))
     assert dec.where(F.col("text").isNull()).count() == 0
     assert dec.count() == 40
+
+
+def test_binary_dir_feed_contract(spark, tmp_path):
+    """S4: binaryFile scan -> Arrow block decode -> explode; golden row-set
+    equality with the source WAL (EthereumTransactionsPipelineTest.scala:21-31
+    analog) and the standard watermark/scan contract."""
+    n = 1200
+    wal = generate_wal(spark, n, n_convs=16, seed=21).cache()
+    n_files = write_binary_drops(wal, str(tmp_path / "bins"), records_per_file=250)
+    assert n_files == 5  # 1200 / 250 -> 5 drops
+
+    feed = BinaryDirFeed(spark, str(tmp_path / "bins"))
+    df = feed.df()
+    assert dict(df.dtypes) == {
+        "lsn": "bigint", "op": "string", "conv_id": "string",
+        "turn_idx": "int", "payload": "binary", "ts": "timestamp",
+    }
+    # golden: full row-set equality, order-insensitive
+    src = {tuple(r) for r in wal.collect()}
+    got = {tuple(r) for r in df.collect()}
+    assert got == src
+    assert feed.max_lsn() == n - 1
+    assert feed.scan(499, 999).count() == 500
+
+
+def test_cdc_through_binary_feed(spark, tmp_path):
+    """A CDC run fed from binary drops equals the brute-force replay oracle."""
+    from endor_blockchain_data_pipeline_spark.functions.decode import decode_changes
+    from endor_blockchain_data_pipeline_spark.job import CDCJob, brute_force_state
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+    from tests.conftest import assert_df_equal
+
+    n = 1000
+    wal = generate_wal(spark, n, n_convs=12, seed=31).cache()
+    write_binary_drops(wal, str(tmp_path / "bins"), records_per_file=200)
+    feed = BinaryDirFeed(spark, str(tmp_path / "bins"))
+    table = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    job = CDCJob(spark, table, feed.df(), write_mode="mor", compact_threshold=100)
+    job.run_to_watermark(batch_size=300)
+    assert_df_equal(job.read_state(), brute_force_state(decode_changes(wal)))

@@ -105,6 +105,31 @@ def test_media_features(spark):
     )
 
 
+def test_real_wav_decode(spark):
+    """The audio kernel REALLY parses WAV containers (stdlib wave): sample
+    rate, true frame counts, and sine-tone RMS ≈ amplitude/√2."""
+    import math
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio_media,
+    )
+
+    media = synthesize_audio_media(spark, n=20, seed=3)
+    feats = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert len(feats) == 20
+    for i, r in feats.items():
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["n_samples"] == 400 + (i * 97) % 400  # matches the synth
+        amp = 8000 + (i * 53) % 20000
+        # sine RMS = amp/sqrt(2); integer quantization + partial periods
+        # keep it within a few percent
+        assert abs(r["rms"] - amp / math.sqrt(2)) / (amp / math.sqrt(2)) < 0.05
+    # determinism across partitioning
+    again = {r["media_id"]: r["rms"] for r in extract_audio_features(media.repartition(5)).collect()}
+    assert again == {i: r["rms"] for i, r in feats.items()}
+
+
 def test_frame_sampling(spark):
     media = synthesize_media(spark, n=48, seed=3)
     frames = sample_frames(media, every_ms=10_000, max_frames=4)

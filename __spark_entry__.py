@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible one. Column names/aliases
-match exactly between both sides.
+DuckDB-equivalent SQL for EVERY query (36/36 — hash-reproducible recipes
+only: md5-derived randomness, decimal-exact sums, no HUGEINT/DECIMAL/array
+output types). Column names/aliases match exactly between both sides.
 
 The CDC queries treat the driver's ``events`` table as a WAL:
 lsn=event_id, key=(conv_id='c'||user_id, turn_idx=event_id%8),

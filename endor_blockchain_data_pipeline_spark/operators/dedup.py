@@ -81,6 +81,31 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> Data
     return res
 
 
+def cap_bucket_size(
+    bands: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Skew defense for bucket self-joins: drop buckets above a size cap.
+
+    A giant bucket (boilerplate corpus, degenerate band) makes the
+    self-join quadratic in ONE task — the classic LSH skew failure. Buckets
+    beyond ``max_bucket_size`` are near-useless for discrimination anyway
+    (every member pairs with every member), so the standard defense is to
+    drop them outright (document them for an exact-dedup pre-pass instead).
+    Implemented as a window count per bucket — one extra shuffle on the
+    (small) bands table, no collect.
+    """
+    if max_bucket_size is None:
+        return bands
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        bands.withColumn("_bsize", F.count("*").over(w))
+        .where(F.col("_bsize") <= max_bucket_size)
+        .drop("_bsize")
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -88,16 +113,19 @@ def minhash_candidates(
     k_shingle: int = 12,
     n_hashes: int = 8,
     n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via LSH band bucket self-join.
 
     The join key (band_idx, band_key) keeps the self-join sparse: only
-    same-bucket docs pair up. A giant bucket (degenerate all-same corpus)
-    would be the skew case — cap with AQE skew-join or pre-salt the bucket.
+    same-bucket docs pair up. ``max_bucket_size`` caps the skew case (a
+    giant bucket would go quadratic in one task — see ``cap_bucket_size``);
+    AQE skew-join splitting covers residual imbalance below the cap.
     """
     bands = lsh_bands(
         minhash_signatures(df, text_col, id_col, k_shingle, n_hashes), id_col, n_bands
     )
+    bands = cap_bucket_size(bands, ["band_idx", "band_key"], max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -202,14 +230,20 @@ def simhash_bands(
 
 
 def dedup_simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by equal SimHash band (any of 64/band_bits).
 
     For 64-bit simhash and 16-bit bands, docs within Hamming distance 3 are
-    guaranteed to share >= 1 band (pigeonhole).
+    guaranteed to share >= 1 band (pigeonhole). ``max_bucket_size`` applies
+    the same giant-bucket skew cap as the MinHash-LSH join.
     """
     bands = simhash_bands(df, text_col, id_col, band_bits)
+    bands = cap_bucket_size(bands, ["band_idx", "band_val"], max_bucket_size)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(

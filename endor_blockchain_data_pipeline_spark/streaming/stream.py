@@ -89,3 +89,86 @@ def stream_wal_to_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_wal_stream(
+    spark: SparkSession, wal_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source readStream over dropped WAL parquet batches."""
+    reader = spark.readStream.schema(WAL_SCHEMA).option("recursiveFileLookup", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(wal_dir)
+
+
+def windowed_activity(
+    stream: DataFrame, window_dur: str = "1 hour", watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Event-time windowed per-conversation change counts with a late-data
+    watermark — the canonical Structured Streaming windowed aggregation.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark_delay) are finalized and their state dropped, so the agg runs
+    indefinitely at fixed memory; changes later than the delay are discarded
+    (the LWW merge path, not this monitor, is the system of record for
+    late mutations).
+    """
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_dur).alias("win"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_changes"), F.max("lsn").alias("max_lsn"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "conv_id",
+            "n_changes",
+            "max_lsn",
+        )
+    )
+
+
+# Custom stateful operator: running per-conversation ingest state via
+# applyInPandasWithState (the arbitrary-stateful-processing API) — what you
+# reach for when windows/aggs can't express the state machine (here: a
+# monotone per-conv high watermark + running change count maintained across
+# micro-batches).
+CONV_STATE_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+
+
+def running_conv_state(stream: DataFrame) -> DataFrame:
+    """Per-conv running (high-watermark LSN, change count) across batches.
+
+    Arrow-batched grouped-stateful processing: each micro-batch hands the
+    group's new rows + its persisted state to a pandas fn; state lives in
+    the streaming state store (checkpointed, exactly-once with the sink).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def update(key, pdfs, state) -> "Iterator[pd.DataFrame]":  # noqa: F821
+        mx, n = state.get if state.exists else (-1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["lsn"].max()))
+        state.update((mx, n))
+        yield pd.DataFrame({"conv_id": [key[0]], "max_lsn": [mx], "n_changes": [n]})
+
+    return (
+        stream.select("conv_id", "lsn")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update, CONV_STATE_OUT, CONV_STATE_SCHEMA, "update", "NoTimeout"
+        )
+    )

@@ -78,6 +78,28 @@ def test_ngram_jaccard_scores(spark, docs):
     assert j.get((0, 5), 0.0) < 0.1
 
 
+def test_lsh_bucket_cap_defuses_giant_bucket(spark, docs):
+    """A degenerate all-identical cluster (one giant LSH bucket) is dropped
+    by the size cap; genuine near-dup pairs below the cap survive."""
+    boiler = [
+        (100 + i, "identical boilerplate banner text repeated across the whole corpus")
+        for i in range(30)
+    ]
+    big = docs.unionByName(
+        spark.createDataFrame(boiler, "doc_id long, text string")
+    )
+    uncapped = minhash_candidates(big, k_shingle=8, n_hashes=8, n_bands=4)
+    capped = minhash_candidates(
+        big, k_shingle=8, n_hashes=8, n_bands=4, max_bucket_size=10
+    )
+    boiler_pairs = 30 * 29 // 2
+    u = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    c = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert len([p for p in u if p[0] >= 100]) == boiler_pairs  # quadratic blob
+    assert not any(p[0] >= 100 for p in c)  # cap removed it
+    assert (0, 1) in c and ((0, 3) in c or (1, 3) in c)  # real near-dups kept
+
+
 def test_simhash_near_dup_buckets(spark, docs):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup_simhash(docs).collect()}
     assert (0, 1) in pairs  # identical docs share all bands

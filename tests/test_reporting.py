@@ -114,3 +114,24 @@ def test_cached_decode_fans_out_three_sinks(spark, tmp_path):
         assert s.agg(F.sum("n")).first()[0] == n_src
     finally:
         decoded.unpersist()
+
+
+def test_lww_reduce_matches_grouped_map_oracle(spark):
+    """A7 grouped-map: applyInPandas as an INDEPENDENT per-key oracle for the
+    LWW reduce — the reference computes its test oracle the same way with
+    groupByKey.mapGroups (ElasticsearchDataStatsReporterTest.scala:79-88)."""
+    import pandas as pd
+
+    wal = generate_wal(spark, 2000, n_convs=24, max_turns=6, seed=41)
+    decoded = decode_changes(wal)
+
+    def pick_winner(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(["lsn", "_mts"], ascending=False).head(1)
+
+    oracle = decoded.groupBy("conv_id", "turn_idx").applyInPandas(
+        pick_winner, decoded.schema
+    )
+    from endor_blockchain_data_pipeline_spark.operators.merge import lww_reduce
+    from tests.conftest import assert_df_equal
+
+    assert_df_equal(lww_reduce(decoded), oracle)

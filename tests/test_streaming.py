@@ -48,3 +48,88 @@ def test_stream_apply_equals_oracle(spark, tmp_path):
     )
     q3.awaitTermination(60)
     assert_df_equal(table.read(spark), brute_force_state(decode_changes(more)))
+
+
+def test_windowed_activity_with_watermark(spark, tmp_path):
+    """Watermarked event-time windowed agg over the WAL stream equals the
+    batch equivalent; the query reports a real event-time watermark."""
+    from endor_blockchain_data_pipeline_spark.streaming.stream import (
+        read_wal_stream,
+        windowed_activity,
+    )
+
+    n = 1500
+    wal = generate_wal(spark, n, n_convs=8, max_turns=6, seed=5)
+    wal_dir = str(tmp_path / "drops")
+    write_wal_batches(wal, wal_dir, batch_size=500, n_events=n)
+
+    stream = read_wal_stream(spark, wal_dir, max_files_per_trigger=1)
+    q = (
+        windowed_activity(stream, "1 hour", "2 hours")
+        .writeStream.format("memory")
+        .queryName("winact")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["eventTime"].get("watermark") is not None
+
+    got = spark.sql("SELECT * FROM winact")
+    expect = (
+        wal.groupBy(F.window("ts", "1 hour").alias("win"), "conv_id")
+        .agg(F.count("*").alias("n_changes"), F.max("lsn").alias("max_lsn"))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"),
+            "conv_id", "n_changes", "max_lsn",
+        )
+    )
+    assert_df_equal(got, expect)
+
+
+def test_running_conv_state_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-conv state persists ACROSS micro-batches
+    (counts accumulate, lsn watermark is monotone) and the final state
+    equals the batch groupBy."""
+    from endor_blockchain_data_pipeline_spark.streaming.stream import (
+        read_wal_stream,
+        running_conv_state,
+    )
+
+    n = 1200
+    wal = generate_wal(spark, n, n_convs=6, max_turns=4, seed=9)
+    wal_dir = str(tmp_path / "drops")
+    write_wal_batches(wal, wal_dir, batch_size=400, n_events=n)  # 3 micro-batches
+
+    stream = read_wal_stream(spark, wal_dir, max_files_per_trigger=1)
+    q = (
+        running_conv_state(stream)
+        .writeStream.format("memory")
+        .queryName("convstate")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM convstate").collect()
+    # update mode emits one row per (conv, micro-batch it appeared in);
+    # the LAST emission per conv carries the accumulated state = batch agg.
+    final = {}
+    for r in rows:
+        cur = final.get(r["conv_id"])
+        if cur is None or r["n_changes"] > cur[1]:
+            final[r["conv_id"]] = (r["max_lsn"], r["n_changes"])
+    expect = {
+        r["conv_id"]: (r["mx"], r["n"])
+        for r in wal.groupBy("conv_id")
+        .agg(F.max("lsn").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == expect
+    # state really crossed batches: some conv emitted more than once
+    from collections import Counter
+
+    per_conv_emissions = Counter(r["conv_id"] for r in rows)
+    assert max(per_conv_emissions.values()) > 1

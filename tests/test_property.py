@@ -1,0 +1,151 @@
+"""Seeded-random property tests vs a pure-Python in-memory oracle.
+
+The reference's property-test style (SURVEY.md §5.3:
+``RatesAggregatorTest.scala:15-65`` — UDAF vs Scala minBy/maxBy per group;
+``EthereumTokenRatesPipelineTest.scala:27-82`` — pipeline vs hand-computed
+join): hypothesis generates adversarial little WALs (key collisions,
+deletes, re-inserts, timestamp ties) and the engine must match a dict-based
+replay oracle on every one.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from endor_blockchain_data_pipeline_spark.operators.merge import (
+    lww_reduce,
+    lww_reduce_salted,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+# One change event: (conv 0-3, turn 0-2, op, ts-tie-bucket 0-2). LSN = index.
+event_st = st.tuples(
+    st.integers(0, 3),
+    st.integers(0, 2),
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(0, 2),
+)
+wal_st = st.lists(event_st, min_size=1, max_size=40)
+
+
+def _rows(events):
+    """Decoded-change rows; _mts ties on purpose (the lsn tiebreak decides)."""
+    rows = []
+    for lsn, (c, t, op, tie) in enumerate(events):
+        rows.append(
+            (
+                lsn, op, f"c{c}", t,
+                None if op == "delete" else "user",
+                None if op == "delete" else f"text-{lsn}",
+                None,
+                None if op == "delete" else BASE,
+                BASE + dt.timedelta(seconds=tie),
+            )
+        )
+    return rows
+
+
+def _py_oracle(events):
+    """Dict replay in (lsn, _mts) order — independent of any Spark code."""
+    state: dict[tuple[str, int], tuple] = {}
+    for lsn, (c, t, op, _tie) in enumerate(events):
+        # LSNs are unique and increasing => plain last-write in lsn order.
+        key = (f"c{c}", t)
+        if op == "delete":
+            state[key] = None  # tombstone (hidden from readers)
+        else:
+            state[key] = (f"text-{lsn}", lsn)
+    return {k: v for k, v in state.items() if v is not None}
+
+
+SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp, _mts timestamp"
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(events=wal_st)
+def test_lww_reduce_matches_python_oracle(spark, events):
+    df = spark.createDataFrame(_rows(events), SCHEMA)
+    reduced = lww_reduce(df)
+    live = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["lsn"])
+        for r in reduced.where(F.col("op") != "delete").collect()
+    }
+    # tombstone keys must not reappear as live rows
+    expect = _py_oracle(events)
+    winners_all = {
+        (r["conv_id"], r["turn_idx"]) for r in reduced.collect()
+    }
+    assert live == expect
+    # every key ever touched has exactly one winner row (incl. tombstones)
+    assert winners_all == {(f"c{c}", t) for (c, t, _o, _x) in events}
+    # the explicit salted two-phase reduction is equivalent
+    salted = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["lsn"])
+        for r in lww_reduce_salted(df, salt_n=4)
+        .where(F.col("op") != "delete")
+        .collect()
+    }
+    assert salted == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(events=wal_st, split=st.integers(1, 39))
+def test_incremental_merge_matches_python_oracle(spark, events, split, tmp_path_factory):
+    """Two-batch incremental MoR apply == dict replay, at ANY split point."""
+    from endor_blockchain_data_pipeline_spark.operators.merge import (
+        changes_to_state,
+        lww_reduce,
+    )
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+
+    split = min(split, max(len(events) - 1, 1))
+    df = spark.createDataFrame(_rows(events), SCHEMA)
+    t = ManifestTable(str(tmp_path_factory.mktemp("prop")), n_buckets=2)
+    for i, part in enumerate(
+        [df.where(F.col("lsn") < split), df.where(F.col("lsn") >= split)]
+    ):
+        if part.isEmpty():
+            continue
+        state = changes_to_state(lww_reduce(part), f"b{i}")
+        t.commit(state, f"b{i}", lsn_lo=-1 + i * split, lsn_hi=split * (i + 1),
+                 replaced_buckets=None, mode="append")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["_lsn"])
+        for r in t.read(spark, with_internal=True)
+        .where(~F.col("_deleted"))
+        .collect()
+    }
+    assert got == _py_oracle(events)
+
+
+def test_merge_schemas_rejects_type_change():
+    import pyspark.sql.types as T
+    import pytest
+
+    from endor_blockchain_data_pipeline_spark.sources.lake import merge_schemas
+
+    old = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    add = T.StructType([T.StructField("a", T.LongType()), T.StructField("c", T.IntegerType())])
+    merged = merge_schemas(old, add)
+    assert [f.name for f in merged.fields] == ["a", "b", "c"]  # order preserved
+    bad = T.StructType([T.StructField("b", T.IntegerType())])
+    with pytest.raises(ValueError, match="non-additive"):
+        merge_schemas(old, bad)

@@ -218,17 +218,49 @@ if __name__ == "__main__":
     ap.add_argument("--salted", action="store_true")
     ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
     ap.add_argument("--compact-threshold", type=int, default=8)
+    ap.add_argument(
+        "--feed",
+        default=None,
+        metavar="KIND:PATH",
+        help="consume a real change feed instead of the synthetic generator: "
+        "parquet:/dir (dropped parquet batches), json:/dir (JSON drops), "
+        "binary:/dir (binary block files), jdbc:URL|TABLE (WAL table)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("endor-cdc-job")
-    wal = generate_wal(spark, args.events, n_convs=args.convs)
+    if args.feed:
+        from endor_blockchain_data_pipeline_spark.sources.feeds import (
+            BinaryDirFeed,
+            JdbcFeed,
+            JsonDirFeed,
+            ParquetFeed,
+        )
+
+        kind, _, loc = args.feed.partition(":")
+        if kind == "parquet":
+            wal = ParquetFeed(spark, loc).df()
+        elif kind == "json":
+            wal = JsonDirFeed(spark, loc).df()
+        elif kind == "binary":
+            wal = BinaryDirFeed(spark, loc).df()
+        elif kind == "jdbc":
+            url, _, tbl = loc.partition("|")
+            wal = JdbcFeed(spark, url, tbl).scan(-1, 2**62)
+        else:
+            raise SystemExit(f"unknown feed kind {kind!r}")
+    else:
+        wal = generate_wal(spark, args.events, n_convs=args.convs)
     table = ManifestTable(args.table, n_buckets=args.buckets)
     job = CDCJob(
         spark, table, wal, salted=args.salted,
         write_mode=args.mode, compact_threshold=args.compact_threshold,
     )
+    lo0 = job.checkpoint.last_lsn()
     t0 = time.time()
     commits = job.run_to_watermark(args.batch_size)
     dt = time.time() - t0
-    n = args.events
-    print(f"applied {len(commits)} batches, {n} events in {dt:.1f}s = {n/dt:,.0f} events/sec")
+    # LSN-range width == event count for dense feeds (the generator); for
+    # sparse external feeds it is the covered range, stated as such.
+    n = max(job.checkpoint.last_lsn() - lo0, 0) if args.feed else args.events
+    print(f"applied {len(commits)} batches, {n} events in {dt:.1f}s = {n/max(dt,1e-9):,.0f} events/sec")

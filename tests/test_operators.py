@@ -78,6 +78,31 @@ def test_ngram_jaccard_scores(spark, docs):
     assert j.get((0, 5), 0.0) < 0.1
 
 
+def test_minhash_xxhash64_fast_path_equivalent_recall(spark, docs):
+    """The engine-native xxhash64 signatures (the 100-TB path) find the same
+    near-dup structure as the md5 oracle recipe."""
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(docs, k_shingle=8, n_hashes=8, n_bands=4).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(
+            docs, k_shingle=8, n_hashes=8, n_bands=4, hash_fn="xxhash64"
+        ).collect()
+    }
+    for pairs in (md5_pairs, xx_pairs):
+        assert (0, 1) in pairs  # exact dups always collide
+        assert (0, 5) not in pairs and (0, 6) not in pairs  # unrelated docs don't
+    # fast path uses long (fixed-width) agg buffers -> HashAggregate
+    from endor_blockchain_data_pipeline_spark.operators.dedup import minhash_signatures
+    from endor_blockchain_data_pipeline_spark.plans.explain import physical_plan
+
+    sigs = minhash_signatures(docs, k_shingle=8, n_hashes=8, hash_fn="xxhash64")
+    assert dict(sigs.dtypes)["mh0"] == "bigint"
+    assert "HashAggregate" in physical_plan(sigs)
+
+
 def test_lsh_bucket_cap_defuses_giant_bucket(spark, docs):
     """A degenerate all-identical cluster (one giant LSH bucket) is dropped
     by the size cap; genuine near-dup pairs below the cap survive."""

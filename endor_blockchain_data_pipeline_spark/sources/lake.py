@@ -64,6 +64,12 @@ def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _utcnow_iso() -> str:
+    import datetime as _dt
+
+    return _dt.datetime.now(_dt.timezone.utc).isoformat()
+
+
 def _schema_to_json(schema: T.StructType) -> str:
     return schema.json()
 
@@ -504,6 +510,7 @@ class ManifestTable:
             "stats": stats or {},
             "new_bucket_stats": bucket_stats,
             "total_commits": total + 1,
+            "committed_at": _utcnow_iso(),
         }
         tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
         final = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -514,6 +521,39 @@ class ManifestTable:
         os.rename(tmp, final)  # the commit point
         self._committed_cache = (version, set(committed_ids))
         return manifest
+
+    # ---------------- history / time travel ----------------
+
+    def history(self) -> list[dict]:
+        """One row per snapshot, oldest first: version, batch_id, LSN range,
+        watermark, committed_at, stats — the Iceberg ``table.history()``
+        analog (driver-side JSON reads, no Spark job)."""
+        out = []
+        for name in self._manifest_files():
+            with open(os.path.join(self._manifest_dir, name)) as fh:
+                m = json.load(fh)
+            out.append(
+                {
+                    "version": m["version"],
+                    "batch_id": m["batch_id"],
+                    "lsn_lo": m["lsn_lo"],
+                    "lsn_hi": m["lsn_hi"],
+                    "watermark": m.get("watermark", m["lsn_hi"]),
+                    "committed_at": m.get("committed_at"),
+                    "stats": m.get("stats", {}),
+                }
+            )
+        return out
+
+    def version_at(self, ts_iso: str) -> int | None:
+        """Latest version committed at or before ``ts_iso`` (UTC ISO-8601) —
+        timestamp time travel: ``read(spark, version=version_at(...))``.
+        Versions without a committed_at stamp (legacy) are skipped."""
+        best = None
+        for h in self.history():
+            if h["committed_at"] is not None and h["committed_at"] <= ts_iso:
+                best = h["version"]
+        return best
 
     # ---------------- maintenance ----------------
 

@@ -185,3 +185,20 @@ def test_wal_deterministic_across_parallelism(spark):
 
 def test_source_max(spark, wal):
     assert source_max(wal) == N_EVENTS - 1
+
+
+def test_history_and_timestamp_travel(spark, wal, tmp_path):
+    """history() lists every snapshot; version_at() resolves a UTC timestamp
+    to the snapshot current at that instant (Iceberg table.history analog)."""
+    job = _fresh_job(spark, wal, tmp_path)
+    job.run_to_watermark(batch_size=2000)
+    h = job.table.history()
+    assert [x["version"] for x in h] == [1, 2]
+    assert all(x["committed_at"] is not None for x in h)
+    assert h[-1]["watermark"] == N_EVENTS - 1
+    # timestamp between the two commits resolves to v1; before all -> None
+    assert job.table.version_at(h[0]["committed_at"]) == 1
+    assert job.table.version_at("1970-01-01T00:00:00+00:00") is None
+    assert job.table.version_at("9999-01-01T00:00:00+00:00") == 2
+    v1 = job.table.read(spark, version=job.table.version_at(h[0]["committed_at"]))
+    assert v1.count() == job.table.read(spark, version=1).count()

@@ -78,23 +78,44 @@ def _schema_from_json(s: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(s))
 
 
-def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
-    """Additive schema merge: old field order preserved, new fields appended.
+# Iceberg's safe type promotions (value-preserving widenings). The Spark
+# parquet reader upcasts narrower physical files under the widened declared
+# schema, so old files stay readable unrewritten.
+_INT_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_FP_ORDER = [T.FloatType(), T.DoubleType()]
 
-    Mirrors Iceberg's add-column evolution and the reference's
-    "encoder schema is the contract" reads (``DatasetStore.scala:52-56``).
-    Type changes are rejected (only additive evolution is supported).
+
+def _widened(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types if they sit on the same promotion ladder."""
+    for order in (_INT_ORDER, _FP_ORDER):
+        if a in order and b in order:
+            return order[max(order.index(a), order.index(b))]
+    return None
+
+
+def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Additive + widening schema merge, old field order preserved.
+
+    Mirrors Iceberg's evolution rules and the reference's "encoder schema is
+    the contract" reads (``DatasetStore.scala:52-56``): new columns append;
+    matching columns may WIDEN along the int (byte→…→long) or float
+    (float→double) ladders — value-preserving, old files read unrewritten.
+    Any other type change is rejected.
     """
     fields = list(old.fields)
     names = {f.name for f in fields}
     for f in new.fields:
         if f.name in names:
-            old_f = next(x for x in fields if x.name == f.name)
+            i = next(i for i, x in enumerate(fields) if x.name == f.name)
+            old_f = fields[i]
             if old_f.dataType != f.dataType:
-                raise ValueError(
-                    f"non-additive schema change on column {f.name!r}: "
-                    f"{old_f.dataType} -> {f.dataType}"
-                )
+                wide = _widened(old_f.dataType, f.dataType)
+                if wide is None:
+                    raise ValueError(
+                        f"non-additive schema change on column {f.name!r}: "
+                        f"{old_f.dataType} -> {f.dataType}"
+                    )
+                fields[i] = T.StructField(old_f.name, wide, True)
         else:
             fields.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(fields)
@@ -518,7 +539,22 @@ class ManifestTable:
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, final)  # the commit point
+        # The commit point: link() is atomic like rename() but FAILS with
+        # EEXIST if another writer already published this version — a
+        # single-writer violation surfaces as an error instead of silently
+        # overwriting the competing snapshot (rename would clobber it).
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise RuntimeError(
+                f"concurrent commit detected: {final} already exists "
+                "(two writers raced on the same table version)"
+            ) from e
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         self._committed_cache = (version, set(committed_ids))
         return manifest
 

@@ -149,3 +149,78 @@ def test_merge_schemas_rejects_type_change():
     bad = T.StructType([T.StructField("b", T.IntegerType())])
     with pytest.raises(ValueError, match="non-additive"):
         merge_schemas(old, bad)
+
+
+def test_merge_schemas_widens_numeric_types():
+    import pyspark.sql.types as T
+
+    from endor_blockchain_data_pipeline_spark.sources.lake import merge_schemas
+
+    old = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.FloatType())])
+    new = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.DoubleType())])
+    widened = merge_schemas(old, new)
+    assert widened["a"].dataType == T.LongType()
+    assert widened["b"].dataType == T.DoubleType()
+    # narrower-than-table batches keep the table's wider type
+    back = merge_schemas(widened, old)
+    assert back["a"].dataType == T.LongType()
+    assert back["b"].dataType == T.DoubleType()
+
+
+def test_type_widening_end_to_end(spark, tmp_path):
+    """A table whose later batches widen a column: old (narrow) files stay
+    readable unrewritten under the widened declared schema."""
+    import datetime as dt
+
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+
+    base = "conv_id string, turn_idx int, score {t}, "
+    internal = "_lsn long, _mts timestamp, _deleted boolean, _batch string"
+    t = ManifestTable(str(tmp_path / "w"), n_buckets=2)
+    d1 = spark.createDataFrame(
+        [("cA", 0, 7, 1, dt.datetime(2024, 1, 1), False, "b1")],
+        base.format(t="int") + internal,
+    )
+    t.commit(d1, "b1", lsn_lo=-1, lsn_hi=1, replaced_buckets=None, mode="append")
+    d2 = spark.createDataFrame(
+        [("cB", 0, 2**40, 2, dt.datetime(2024, 1, 2), False, "b2")],
+        base.format(t="long") + internal,
+    )
+    t.commit(d2, "b2", lsn_lo=1, lsn_hi=2, replaced_buckets=None, mode="append")
+    got = {r["conv_id"]: r["score"] for r in t.read(spark).collect()}
+    assert got == {"cA": 7, "cB": 2**40}
+    assert dict(t.read(spark).dtypes)["score"] == "bigint"
+
+
+def test_concurrent_commit_collision_detected(spark, tmp_path):
+    """Two writers racing on the same version: the loser gets an error, the
+    winner's snapshot is never clobbered (link-based commit point)."""
+    import datetime as dt
+
+    import pytest
+
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+
+    df = spark.createDataFrame(
+        [("cA", 0, "user", "x", None, dt.datetime(2024, 1, 1), 1,
+          dt.datetime(2024, 1, 1), False, "w1")],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, _lsn long, _mts timestamp, _deleted boolean, _batch string",
+    )
+    t1 = ManifestTable(str(tmp_path / "c"), n_buckets=2)
+    t2 = ManifestTable(str(tmp_path / "c"), n_buckets=2)
+    s1 = t1.stage(df, "w1")
+    s2 = t2.stage(df, "w2")  # both writers staged against version 0
+    t1.commit_staged(s1, "w1", lsn_lo=-1, lsn_hi=1, replaced_buckets=None, mode="append")
+    # writer 2 computed its version before writer 1 published -> must fail,
+    # not overwrite. (A fresh handle that re-reads the manifest would get
+    # the next version; the race is two processes deciding simultaneously.)
+    import os
+    from unittest import mock
+
+    with mock.patch.object(t2, "current_version", return_value=0):
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            t2.commit_staged(s2, "w2", lsn_lo=-1, lsn_hi=1, replaced_buckets=None, mode="append")
+    # winner's manifest intact
+    assert t1.manifest(1)["batch_id"] == "w1"
+    assert len(os.listdir(os.path.join(str(tmp_path / "c"), "_manifests"))) == 1

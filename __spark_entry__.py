@@ -394,6 +394,19 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(d, "text", "doc_id", k_shingle=12, n_hashes=4, n_bands=2)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: LSH candidate pairs -> connected
+    components (hash-min label propagation) -> corpus keep/drop list."""
+    from endor_blockchain_data_pipeline_spark.operators.dedup import (
+        dedup_resolution,
+        minhash_candidates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, "text", "doc_id", k_shingle=12, n_hashes=4, n_bands=2)
+    return dedup_resolution(d, pairs, "doc_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed embedding near-dup pairs (cosine >= 0.15 within bucket)."""
     from endor_blockchain_data_pipeline_spark.operators.similarity import (
@@ -581,6 +594,31 @@ def _build_embedding_near_dup_sql(
     """
 
 
+# Shared CTE chain for the MinHash-LSH candidate pairs (k_shingle=12,
+# n_hashes=4, n_bands=2) — used verbatim by both the lsh_candidate_pairs
+# oracle and as the recursive-CC input for dup_clusters.
+_SQL_LSH_PAIRS_CTES = """
+            sh AS (
+              SELECT doc_id, substr(text, CAST(i AS INTEGER), 12) AS sh
+              FROM documents,
+                   UNNEST(range(1, greatest(len(text) - 11, 1) + 1)) AS t(i)),
+            sigs AS (
+              SELECT doc_id,
+                     min(md5('h0:' || sh)) AS mh0, min(md5('h1:' || sh)) AS mh1,
+                     min(md5('h2:' || sh)) AS mh2, min(md5('h3:' || sh)) AS mh3
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_key FROM sigs),
+            lsh_pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a
+              JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                          AND a.doc_id < b.doc_id)
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -619,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_roundtrip": q_hex_roundtrip,
         "conv_stats_rollup": q_conv_stats_rollup,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "dup_clusters": q_dup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "schema_projection_cast": q_schema_projection_cast,
         "scaled_decimal": q_scaled_decimal,
@@ -823,24 +862,28 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list_distinct(flatten(list(items)))), ',') AS tools_used
             FROM ev GROUP BY conv_id
         """,
-        "lsh_candidate_pairs": """
-            WITH sh AS (
-              SELECT doc_id, substr(text, CAST(i AS INTEGER), 12) AS sh
-              FROM documents,
-                   UNNEST(range(1, greatest(len(text) - 11, 1) + 1)) AS t(i)),
-            sigs AS (
-              SELECT doc_id,
-                     min(md5('h0:' || sh)) AS mh0, min(md5('h1:' || sh)) AS mh1,
-                     min(md5('h2:' || sh)) AS mh2, min(md5('h3:' || sh)) AS mh3
-              FROM sh GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sigs
-              UNION ALL
-              SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_key FROM sigs)
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a
-            JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                        AND a.doc_id < b.doc_id
+        "lsh_candidate_pairs": f"WITH {_SQL_LSH_PAIRS_CTES} SELECT id_a, id_b FROM lsh_pairs",
+        "dup_clusters": f"""
+            WITH RECURSIVE {_SQL_LSH_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+            -- min-label reachability: the component's min id is < every node
+            -- on any path out of it, so (node, component_min) is always
+            -- generated; larger labels are pruned by r.lbl < e.dst and the
+            -- UNION dedup terminates the recursion.
+            reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl
+              FROM reach r JOIN edges e ON e.src = r.node
+              WHERE r.lbl < e.dst),
+            cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+                   (COALESCE(cc.cluster_id, d.doc_id) = d.doc_id) AS keep
+            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         """,
         "embedding_near_dup": _build_embedding_near_dup_sql(0.15, n_bits=8, dim=64, seed=42),
         "schema_projection_cast": """

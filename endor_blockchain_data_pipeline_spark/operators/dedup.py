@@ -21,10 +21,14 @@ shape (explode -> partial agg -> band groupBy) is unchanged.
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from endor_blockchain_data_pipeline_spark.functions.text import char_shingles, fingerprint_expr
+
+logger = logging.getLogger(__name__)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -194,6 +198,110 @@ def ngram_jaccard(
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 4,
             ).alias("jaccard"),
+        )
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Fold candidate near-dup pairs into duplicate clusters.
+
+    Distributed connected components by iterative hash-min label propagation
+    (the classic Spark-friendly CC: each node repeatedly adopts the minimum
+    label among itself and its neighbors until fixpoint). Pure DataFrame —
+    no GraphFrames dependency, no driver-side graph:
+
+    - every iteration is one shuffle join (edges x labels) + one min-agg,
+      both partition-parallel; labels are ``localCheckpoint``-ed per
+      iteration so the plan stays O(1) deep instead of O(iters)
+      (on a real cluster with an HDFS checkpoint dir you would use
+      ``checkpoint()`` for executor-loss resilience — same call shape);
+    - iterations needed = the cluster graph's diameter, which for near-dup
+      clusters (dense blobs of mutual similarity) is small; ``max_iters``
+      bounds the worst case and the convergence log line reports the actual
+      count;
+    - the per-iteration ``count()`` action is the convergence test — one
+      cheap scan of the just-checkpointed labels, standard for iterative
+      CC at any scale.
+
+    Returns one row per node that appears in ``pairs``:
+    ``(node, cluster_id)`` where cluster_id = min node id in the connected
+    component. Nodes in no pair are singletons by definition and are not
+    emitted (join back with ``dedup_resolution`` for the corpus-wide list).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    iters_run = 0
+    changed = -1
+    for _ in range(max_iters):
+        iters_run += 1
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_lbl"))
+        )
+        upd = (
+            labels.withColumnRenamed("cluster_id", "old_lbl")
+            .join(nbr_min, F.col("node") == nbr_min["src"], "left")
+            .select(
+                "node",
+                "old_lbl",
+                F.least(F.col("old_lbl"), F.coalesce("nbr_lbl", "old_lbl")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = upd.where(F.col("cluster_id") != F.col("old_lbl")).count()
+        labels = upd.select("node", "cluster_id")
+        if changed == 0:
+            break
+    edges.unpersist()
+    logger.info(
+        "dup_clusters: %s after %d iteration(s), %d label change(s) in last pass",
+        "converged" if changed == 0 else f"stopped at max_iters={max_iters}",
+        iters_run,
+        changed,
+    )
+    return labels
+
+
+def dedup_resolution(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Corpus-level keep/drop list from candidate near-dup pairs.
+
+    The end-to-end act of deduplication: candidate pairs (from MinHash-LSH
+    or SimHash) -> connected components (``dup_clusters``) -> one canonical
+    survivor per cluster (min id) -> a full-corpus verdict per doc:
+
+    ``(id_col, cluster_id, keep)`` — ``keep`` is true for the cluster's
+    canonical doc and for every singleton (docs in no candidate pair, which
+    never enter the label propagation and join as their own cluster).
+    ``df.where(keep)`` IS the deduplicated corpus.
+    """
+    clusters = dup_clusters(pairs, max_iters=max_iters)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(clusters, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("node")) == F.col("node")).alias("keep"),
         )
     )
 

@@ -70,6 +70,51 @@ def test_minhash_finds_near_dups(spark, docs):
     assert (0, 5) not in pairs and (0, 6) not in pairs
 
 
+def test_dup_clusters_transitive_chain(spark):
+    """A~B, B~C but A̸~C must still collapse to ONE cluster (connectivity is
+    transitive even when similarity isn't), and the keep list must pick the
+    min id as the canonical survivor."""
+    from endor_blockchain_data_pipeline_spark.operators.dedup import (
+        dedup_resolution,
+        dup_clusters,
+    )
+
+    # Two chains: {1-2-3-4} (a path, diameter 3) and {10-11}; 20/21 singletons.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 20, 21)],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           dedup_resolution(docs, pairs).collect()}
+    assert res[1] == (1, True) and res[2] == (1, False)
+    assert res[3] == (1, False) and res[4] == (1, False)
+    assert res[10] == (10, True) and res[11] == (10, False)
+    # singletons (no candidate pair) keep themselves
+    assert res[20] == (20, True) and res[21] == (21, True)
+    # corpus after dedup = one survivor per cluster + singletons
+    assert sorted(k for k, (_, keep) in res.items() if keep) == [1, 10, 20, 21]
+
+
+def test_dup_clusters_max_iters_bound(spark):
+    """max_iters caps the propagation: a 6-node path needs 5 passes to fully
+    converge; with max_iters=1 labels move at most one hop."""
+    from endor_blockchain_data_pipeline_spark.operators.dedup import dup_clusters
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    one_hop = {r["node"]: r["cluster_id"] for r in dup_clusters(path, max_iters=1).collect()}
+    assert one_hop[6] == 5  # moved exactly one hop, not converged
+    full = {r["node"]: r["cluster_id"] for r in dup_clusters(path).collect()}
+    assert set(full.values()) == {1}
+
+
 def test_ngram_jaccard_scores(spark, docs):
     pairs = spark.createDataFrame([(0, 1), (0, 3), (0, 5)], "id_a long, id_b long")
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs, k_shingle=8).collect()}

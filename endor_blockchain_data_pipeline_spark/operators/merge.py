@@ -67,6 +67,7 @@ def lww_winner_rows(
     ts_col: str = "ts",
     salted: bool = False,
     salt_n: int = 16,
+    est_rows: int | None = None,
 ) -> DataFrame:
     """Within-batch LWW on the RAW (undecoded) feed — the fast path.
 
@@ -85,7 +86,24 @@ def lww_winner_rows(
 
     Invariant required: ``lsn`` uniquely identifies a change record (it is a
     log sequence number). Returns the raw winner rows, exactly one per key.
+
+    ``est_rows``: the caller's upper bound on this batch's row count (for a
+    dense LSN feed, simply ``lsn_hi - lsn_lo``). Above
+    ``ManifestTable.MERGE_BROADCAST_ROW_LIMIT`` the winner set may not fit
+    an executor, so the reduce auto-switches to the per-key window path —
+    one shuffle, nothing broadcast — exactly like ``lake.read``'s strategy
+    switch and ``lww_state_merge``. ``None`` keeps the broadcast (small-batch
+    default); callers feeding unbounded batches should always pass a bound.
     """
+    if est_rows is not None and est_rows > ManifestTable.MERGE_BROADCAST_ROW_LIMIT:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.col(lsn_col).desc())
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     # Winner = max(lsn) per key: LSNs are globally unique (they are log
     # sequence numbers), so the (lsn, ts) LWW order collapses to lsn alone
     # for SELECTION — and a bare long max is a true HashAggregate. Even
@@ -201,6 +219,7 @@ def merge_batch(
     lineage=None,
     mode: str = "cow",
     decode_fn=None,
+    est_rows: int | None = None,
 ) -> dict:
     """Apply one decoded WAL batch to the table (key-partitioned MERGE).
 
@@ -273,7 +292,9 @@ def merge_batch(
         # Fast path: ``changes`` is the RAW feed slice. Narrow winner
         # selection touches only (key, lsn, ts); the payload decode +
         # normalization run on WINNER rows only.
-        winner_raw = lww_winner_rows(changes, salted=salted, salt_n=salt_n)
+        winner_raw = lww_winner_rows(
+            changes, salted=salted, salt_n=salt_n, est_rows=est_rows
+        )
         reduced = decode_fn(winner_raw)
     else:
         # ``changes`` already decoded (compat path for pre-decoded feeds).
@@ -369,6 +390,7 @@ def stage_batch_mor(
     salted: bool = False,
     salt_n: int = 16,
     decode_fn=None,
+    est_rows: int | None = None,
 ) -> dict:
     """Stage (write, don't publish) one MoR batch — the pipelinable half.
 
@@ -380,7 +402,7 @@ def stage_batch_mor(
     from endor_blockchain_data_pipeline_spark.functions.decode import decode_changes
 
     decode = decode_fn or decode_changes
-    winner_raw = lww_winner_rows(raw, salted=salted, salt_n=salt_n)
+    winner_raw = lww_winner_rows(raw, salted=salted, salt_n=salt_n, est_rows=est_rows)
     reduced = decode(winner_raw)
     new_state = changes_to_state(reduced, batch_id).withColumn(
         "_bucket", bucket_expr(table.bucket_key, table.n_buckets)

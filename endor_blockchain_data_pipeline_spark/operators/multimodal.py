@@ -163,8 +163,20 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     sr = w.getframerate()
                     ch = w.getnchannels()
                     ns = w.getnframes()
+                    sw = w.getsampwidth()
                     raw = w.readframes(ns)
-                samples = _struct.unpack(f"<{ns * ch}h", raw)
+                # dispatch the unpack on the actual sample width — blindly
+                # assuming 16-bit raises struct.error mid-executor (or worse,
+                # misparses) on 8-bit or non-PCM input.
+                if sw == 2:
+                    samples = _struct.unpack(f"<{ns * ch}h", raw)
+                elif sw == 1:  # 8-bit WAV PCM is unsigned, midpoint 128
+                    samples = tuple(b - 128 for b in raw[: ns * ch])
+                else:
+                    raise ValueError(
+                        f"media_id={mid}: only 8/16-bit PCM WAV supported, "
+                        f"got sample width {sw} bytes"
+                    )
                 rms = math.sqrt(sum(s * s for s in samples) / len(samples)) if samples else 0.0
                 rows.append(
                     {

@@ -172,11 +172,17 @@ def embedding_near_dup(
 
     Self-join only within SRP buckets (near-identical vectors share buckets
     with high probability), then exact cosine filter. The all-pairs O(n^2)
-    never materializes. ``dim`` defaults to the first row's vector length
-    (one tiny driver lookup).
+    never materializes.
+
+    ``dim``: pass it explicitly in pipelines (the hyperplane count must be
+    known before planning). When None, the schema field's ``{"dim": N}``
+    metadata is consulted first; only failing that does a one-row driver
+    lookup run — one extra tiny Spark action per call, fine interactively,
+    wasteful inside a loop.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        meta = df.schema[vec_col].metadata or {}
+        dim = int(meta["dim"]) if "dim" in meta else len(df.select(vec_col).first()[0])
     weights = srp_weights(n_bits, dim, seed)
     sigs = df.select(
         F.col(id_col), F.col(vec_col), srp_signature_expr(vec_col, weights).alias("_sig")

@@ -53,6 +53,7 @@ def publish_incremental(
     watermark_col: str,
     upper_bound=None,
     coalesce_to: int = 10,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append only rows newer than the sink's OWN watermark.
 
@@ -66,20 +67,45 @@ def publish_incremental(
 
     Returns the number of rows published. Single-writer assumed, like every
     sink in the reference.
+
+    Single pass: the row count comes from an ``Observation`` attached to the
+    write job itself — the filtered source is scanned exactly ONCE, and the
+    count is BY CONSTRUCTION the rows that landed (a count()-then-write
+    would scan twice and, for a non-deterministic source, could publish a
+    different row set than it counted). A zero-delta publish writes only an
+    empty footer file — the sink watermark is unchanged, so staggered
+    re-publishes still never duplicate.
+
+    Sink existence comes from actually reading it (any layout: flat files,
+    partitioned dirs), not a top-level ``*.parquet`` listing — a partitioned
+    sink has no top-level files and a listing-based probe would silently
+    re-append everything.
     """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Observation
+
     sink_max = None
-    if os.path.isdir(sink_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(sink_dir)
-    ):
-        sink_max = (
-            spark.read.parquet(sink_dir).agg(F.max(watermark_col).alias("m")).first()["m"]
-        )
+    if os.path.isdir(sink_dir):
+        try:
+            sink_max = (
+                spark.read.parquet(sink_dir)
+                .agg(F.max(watermark_col).alias("m"))
+                .first()["m"]
+            )
+        except AnalysisException:
+            pass  # empty/uninitialized sink dir: first publish
     fresh = source
     if sink_max is not None:
         fresh = fresh.where(F.col(watermark_col) > F.lit(sink_max))
     if upper_bound is not None:
         fresh = fresh.where(F.col(watermark_col) <= F.lit(upper_bound))
-    n = fresh.count()
-    if n > 0:
-        fresh.coalesce(coalesce_to).write.mode("append").parquet(sink_dir)
-    return n
+    obs = Observation()
+    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+    w = fresh.coalesce(coalesce_to).write.mode("append")
+    if partition_by:
+        # appends into a partitioned sink must match its layout — a flat
+        # append under a partitioned root is invisible to partition-aware
+        # readers.
+        w = w.partitionBy(*partition_by)
+    w.parquet(sink_dir)
+    return int(obs.get["n"])

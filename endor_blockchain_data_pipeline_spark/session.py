@@ -61,9 +61,13 @@ def get_spark(
 
 
 def stop_spark() -> None:
-    """Stop the active session (needed to switch master, e.g. in bench)."""
+    """Stop the active session (needed to switch master, e.g. in bench).
+
+    No private-API pokes: in PySpark 4 ``SparkSession.builder`` is a
+    classproperty minting a FRESH Builder per access, so once the active
+    session (and its JVM context) stops, the next ``get_spark`` call's
+    builder carries only its own config — a new master is picked up
+    cleanly."""
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    # Clear the JVM-side default so a new master can be picked up.
-    SparkSession.builder._options = {}

@@ -270,6 +270,25 @@ class JdbcFeed:
         row = probe.first()
         return -1 if row is None or row["max_lsn"] is None else int(row["max_lsn"])
 
+    def partition_info(self, lo: int, hi: int) -> dict:
+        """The range-partitioning Spark's JDBC reader will stripe with.
+
+        Spark splits ``[lowerBound, upperBound)`` into ``numPartitions``
+        equal strides — so the bounds MUST be the batch's REAL LSN range
+        (probe ``max_lsn()`` first), never sentinels: with upperBound=2^62
+        every actual row lands in stripe 0 and one connection drags the
+        whole table while the rest idle. numPartitions is clamped to the
+        range width so a small catch-up batch doesn't open hundreds of
+        one-row connections.
+        """
+        lo, hi = int(lo), int(hi)
+        width = max(hi - lo, 1)
+        return {
+            "lowerBound": lo + 1,
+            "upperBound": hi + 1,
+            "numPartitions": max(1, min(self.num_partitions, width)),
+        }
+
     def scan(self, lo: int, hi: int) -> DataFrame:
         subquery = (
             f"(SELECT lsn, op, conv_id, turn_idx, payload, ts FROM {self.table} "
@@ -279,8 +298,6 @@ class JdbcFeed:
             self.url,
             subquery,
             column="lsn",
-            lowerBound=int(lo) + 1,
-            upperBound=int(hi) + 1,
-            numPartitions=self.num_partitions,
             properties=self.properties,
+            **self.partition_info(lo, hi),
         )

@@ -93,6 +93,40 @@ def _widened(a: T.DataType, b: T.DataType) -> T.DataType | None:
     return None
 
 
+def coerce_to_declared(df: DataFrame, declared: T.StructType) -> DataFrame:
+    """Project ``df`` onto a caller-DECLARED schema, coercing where safe.
+
+    The reference's loader contract: "the encoder schema is the contract" —
+    physical files may carry wider/extra columns; the read coerces to what
+    the caller declared (``storage/dataset/DatasetStore.scala:43-57``,
+    timestamp-read-as-date test ``FileSystemDatasetStoreTest.scala:48-65``).
+
+    Allowed physical -> declared coercions: exact match; columns absent in
+    the files read as null (additive evolution); int/float ladder widening;
+    timestamp -> date truncation. Anything else raises — silent lossy casts
+    are schema drift, the thing a declared schema exists to catch.
+    """
+    phys = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in declared.fields:
+        if f.name not in phys:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        p = phys[f.name]
+        if p == f.dataType:
+            cols.append(F.col(f.name))
+        elif _widened(p, f.dataType) == f.dataType or (
+            isinstance(p, T.TimestampType) and isinstance(f.dataType, T.DateType)
+        ):
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(
+                f"cannot coerce physical {p} to declared {f.dataType} "
+                f"for column {f.name!r}"
+            )
+    return df.select(*cols)
+
+
 def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
     """Additive + widening schema merge, old field order preserved.
 
@@ -179,15 +213,24 @@ class ManifestTable:
             return -1
         return int(m.get("watermark", m["lsn_hi"]))
 
+    # Fold the per-manifest id delta into the registry sidecar at this size:
+    # each commit then persists <= this many ids inline (O(1) manifest bytes
+    # per commit) while the full registry is rewritten only every K commits
+    # — amortized O(ids/K) instead of every manifest carrying the whole
+    # O(commits) cumulative list (O(commits^2) total manifest bytes, the
+    # registry itself becoming the scaling bottleneck on long-lived tables).
+    REGISTRY_FOLD_THRESHOLD = 64
+
     def committed_batches(self) -> set[str]:
         """Batch ids already applied (exactly-once replay skip-list).
 
-        O(1): each manifest carries the cumulative id list, so only the
-        LATEST manifest is read (plus an in-memory cache keyed on version).
-        Without this, per-batch ``is_committed`` checks re-parse every
-        historical manifest — O(commits²) driver I/O over a job's life.
-        Tables written before the registry existed fall back to one full
-        scan, after which the next commit upgrades them.
+        O(1) reads: the LATEST manifest carries the ids committed since the
+        last registry fold (``registry_delta``, bounded by
+        ``REGISTRY_FOLD_THRESHOLD``) plus a pointer to the folded sidecar
+        (``registry_file``); both are cached in-memory keyed on version /
+        filename. Tables written by older formats fall back to the inline
+        cumulative list or a one-time manifest scan, after which the next
+        commit upgrades them.
         """
         version = self.current_version()
         cached = getattr(self, "_committed_cache", None)
@@ -196,7 +239,11 @@ class ManifestTable:
         m = self.manifest(version)
         if m is None:
             out: set[str] = set()
-        elif "committed_batch_ids" in m:
+        elif "registry_delta" in m:
+            out = self._registry_file_ids(m.get("registry_file")) | set(
+                m["registry_delta"]
+            )
+        elif "committed_batch_ids" in m:  # pre-sidecar format
             out = set(m["committed_batch_ids"])
         else:  # legacy manifest: one-time full scan
             out = set()
@@ -205,6 +252,18 @@ class ManifestTable:
                     out.add(json.load(fh)["batch_id"])
         self._committed_cache = (version, out)
         return out
+
+    def _registry_file_ids(self, name: str | None) -> set[str]:
+        """Ids in a folded registry sidecar (immutable => cached by name)."""
+        if not name:
+            return set()
+        cached = getattr(self, "_registry_cache", None)
+        if cached is not None and cached[0] == name:
+            return cached[1]
+        with open(os.path.join(self._manifest_dir, name)) as fh:
+            ids = set(json.load(fh)["batch_ids"])
+        self._registry_cache = (name, ids)
+        return ids
 
     def schema(self, with_internal: bool = True) -> T.StructType | None:
         m = self.manifest()
@@ -231,6 +290,7 @@ class ManifestTable:
         batch_ids: list[str] | None = None,
         exclude_batch_ids: list[str] | None = None,
         merge_strategy: str = "auto",
+        declared_schema: T.StructType | None = None,
     ) -> DataFrame:
         """Snapshot read of manifested files only, with bucket pruning.
 
@@ -241,6 +301,10 @@ class ManifestTable:
         - ``batch_ids``/``exclude_batch_ids``: BatchLoadOption analog
           (``DatasetStore.scala:37-41``).
         - ``version``: time travel to an older snapshot.
+        - ``declared_schema``: coerce the logical result to a caller-declared
+          schema (``coerce_to_declared`` — e.g. a ``date`` reader over
+          ``timestamp`` files truncates instead of erroring). Applied after
+          the internal-column drop; user-facing columns only.
         - ``merge_strategy``: how multi-generation (MoR) buckets LWW-merge:
           ``"broadcast"`` — narrow max(_lsn) winner set broadcast-joined back
           (fast, zero sort; ONLY safe while the winner set fits an executor);
@@ -316,6 +380,8 @@ class ManifestTable:
                 )
         if not with_internal:
             df = df.where(~F.col("_deleted")).drop(*INTERNAL_COLS)
+        if declared_schema is not None:
+            df = coerce_to_declared(df, declared_schema)
         return df
 
     @staticmethod
@@ -510,8 +576,37 @@ class ManifestTable:
         prev_watermark = -1
         if prev is not None:
             prev_watermark = int(prev.get("watermark", prev["lsn_hi"]))
-        committed_ids = sorted(self.committed_batches() | {batch_id})
         version = self.current_version() + 1
+
+        # Bounded registry: ids since the last sidecar fold travel inline;
+        # at the threshold they fold into an immutable sidecar file written
+        # BEFORE the manifest commit point (a crash between the two leaves
+        # an orphan sidecar no manifest references — harmless).
+        if prev is None:
+            prev_delta: list[str] = []
+            reg_file = None
+        elif "registry_delta" in prev:
+            prev_delta = list(prev["registry_delta"])
+            reg_file = prev.get("registry_file")
+        else:  # upgrade older formats: whole known set becomes the delta
+            prev_delta = sorted(self.committed_batches())
+            reg_file = None
+        delta = prev_delta + [batch_id]
+        if len(delta) >= self.REGISTRY_FOLD_THRESHOLD:
+            all_ids = sorted(self._registry_file_ids(reg_file) | set(delta))
+            reg_file = f"registry-v{version:08d}.json"
+            reg_tmp = os.path.join(
+                self._manifest_dir, f".tmp-reg-{uuid.uuid4().hex[:12]}.json"
+            )
+            with open(reg_tmp, "w") as fh:
+                json.dump({"batch_ids": all_ids}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(reg_tmp, os.path.join(self._manifest_dir, reg_file))
+            self._registry_cache = (reg_file, set(all_ids))
+            delta = []
+
+        committed_ids = self.committed_batches() | {batch_id}
         manifest = {
             "version": version,
             "batch_id": batch_id,
@@ -519,8 +614,9 @@ class ManifestTable:
             "lsn_hi": lsn_hi,
             # Running max: out-of-order commits never regress the watermark.
             "watermark": max(prev_watermark, lsn_hi),
-            # Cumulative registry: committed_batches() reads ONLY this.
-            "committed_batch_ids": committed_ids,
+            # Bounded registry: committed_batches() reads ONLY these two.
+            "registry_file": reg_file,
+            "registry_delta": delta,
             "schema": _schema_to_json(schema),
             "buckets": buckets,
             "bucket_gens": gens,
@@ -582,12 +678,25 @@ class ManifestTable:
         return out
 
     def version_at(self, ts_iso: str) -> int | None:
-        """Latest version committed at or before ``ts_iso`` (UTC ISO-8601) —
+        """Latest version committed at or before ``ts_iso`` (ISO-8601) —
         timestamp time travel: ``read(spark, version=version_at(...))``.
-        Versions without a committed_at stamp (legacy) are skipped."""
+        Versions without a committed_at stamp (legacy) are skipped.
+
+        Both sides parse to real datetimes — lexicographic comparison breaks
+        across equally-valid ISO spellings ('...Z' vs '...+00:00', with or
+        without fractional seconds). Naive inputs are taken as UTC."""
+        import datetime as _dt
+
+        def _parse(s: str) -> _dt.datetime:
+            d = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            return d
+
+        want = _parse(ts_iso)
         best = None
         for h in self.history():
-            if h["committed_at"] is not None and h["committed_at"] <= ts_iso:
+            if h["committed_at"] is not None and _parse(h["committed_at"]) <= want:
                 best = h["version"]
         return best
 

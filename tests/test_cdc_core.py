@@ -202,3 +202,61 @@ def test_history_and_timestamp_travel(spark, wal, tmp_path):
     assert job.table.version_at("9999-01-01T00:00:00+00:00") == 2
     v1 = job.table.read(spark, version=job.table.version_at(h[0]["committed_at"]))
     assert v1.count() == job.table.read(spark, version=1).count()
+
+
+def test_version_at_parses_any_iso_spelling(spark, wal, tmp_path):
+    """version_at must compare PARSED datetimes: 'Z'-suffixed or second-
+    precision spellings misorder under lexicographic comparison against the
+    stored microsecond '+00:00' stamps."""
+    job = _fresh_job(spark, wal, tmp_path)
+    job.run_to_watermark(batch_size=2000)
+    h = job.table.history()
+    import datetime as dt
+
+    t1 = dt.datetime.fromisoformat(h[0]["committed_at"])
+    just_after = (t1 + dt.timedelta(milliseconds=1)).replace(tzinfo=None)
+    # 'Z' spelling ('Z' > '.' lexicographically -> string compare would
+    # wrongly include LATER commits); both spellings must agree
+    assert job.table.version_at(just_after.isoformat() + "Z") == 1
+    assert job.table.version_at(just_after.isoformat() + "+00:00") == 1
+    # naive input is taken as UTC
+    assert job.table.version_at(just_after.isoformat()) == 1
+    # second-precision truncation just BEFORE the first commit -> None
+    floor = t1.replace(microsecond=0, tzinfo=None)
+    assert job.table.version_at(floor.isoformat() + "Z") in (None, 1)
+
+
+def test_declared_schema_read_coerces_ts_to_date(spark, wal, tmp_path):
+    """Reference parity FileSystemDatasetStoreTest.scala:48-65: a reader
+    declaring `date` over physically-`timestamp` files truncates on read
+    instead of erroring; declared-but-absent columns read as null."""
+    import pyspark.sql.types as T
+
+    from endor_blockchain_data_pipeline_spark.sources.lake import coerce_to_declared
+
+    job = _fresh_job(spark, wal, tmp_path)
+    job.run_batch(-1, 999)
+    declared = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.LongType()),   # int -> long widening
+            T.StructField("ts", T.DateType()),          # timestamp -> date
+            T.StructField("annotations", T.StringType()),  # absent -> null
+        ]
+    )
+    got = job.table.read(spark, declared_schema=declared)
+    assert [f.dataType for f in got.schema.fields] == [
+        T.StringType(), T.LongType(), T.DateType(), T.StringType()
+    ]
+    base = job.table.read(spark)
+    assert got.count() == base.count()
+    joined = got.join(base.select("conv_id", "turn_idx", F.col("ts").alias("full_ts")),
+                      ["conv_id", "turn_idx"])
+    assert joined.where(F.to_date("full_ts") != F.col("ts")).count() == 0
+    assert got.where(F.col("annotations").isNotNull()).count() == 0
+    # lossy/incompatible coercions still refuse loudly
+    bad = T.StructType([T.StructField("ts", T.LongType())])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot coerce"):
+        coerce_to_declared(job.table.read(spark), bad)

@@ -89,3 +89,24 @@ def test_cdc_through_binary_feed(spark, tmp_path):
     job = CDCJob(spark, table, feed.df(), write_mode="mor", compact_threshold=100)
     job.run_to_watermark(batch_size=300)
     assert_df_equal(job.read_state(), brute_force_state(decode_changes(wal)))
+
+
+def test_jdbc_stripe_bounds_cover_real_range(spark):
+    """The JDBC reader's stripes must cover the probed (checkpoint, max]
+    range — sentinel bounds (lowerBound=-1, upperBound=2^62) would put every
+    real LSN in stripe 0 and serialize the read on one connection."""
+    from endor_blockchain_data_pipeline_spark.sources.feeds import JdbcFeed
+
+    feed = JdbcFeed(spark, "jdbc:h2:mem:none", "wal", num_partitions=200)
+    info = feed.partition_info(999, 5_000_999)
+    assert info == {"lowerBound": 1000, "upperBound": 5_001_000, "numPartitions": 200}
+    # Spark stride = (upper - lower) / n: with REAL bounds every stripe holds
+    # an equal share of pending LSNs (the sentinel shape put 100% in stripe 0)
+    stride = (info["upperBound"] - info["lowerBound"]) / info["numPartitions"]
+    assert stride == 25_000.0
+
+    # small catch-up: never more stripes (connections) than pending rows
+    assert feed.partition_info(10, 13)["numPartitions"] == 3
+    # empty/degenerate range stays a valid single-stripe read
+    assert feed.partition_info(7, 7)["numPartitions"] == 1
+    assert feed.partition_info(7, 8)["lowerBound"] == 8

@@ -143,11 +143,42 @@ def test_committed_batches_reads_only_latest_manifest(spark, wal, tmp_path):
     # proving committed_batches() never opens the older files.
     t2 = ManifestTable(str(tmp_path / "reg"), n_buckets=4)
     mdir = os.path.join(str(tmp_path / "reg"), "_manifests")
-    keep = sorted(os.listdir(mdir))[-1]
-    for f in os.listdir(mdir):
-        if f != keep:
-            os.rename(os.path.join(mdir, f), os.path.join(mdir, f + ".hidden"))
+    manifests = sorted(f for f in os.listdir(mdir) if f.startswith("v"))
+    for f in manifests[:-1]:
+        os.rename(os.path.join(mdir, f), os.path.join(mdir, f + ".hidden"))
     assert t2.committed_batches() == ids
+
+
+def test_registry_folds_into_bounded_sidecar(spark, wal, tmp_path):
+    """Manifests carry at most REGISTRY_FOLD_THRESHOLD inline batch ids; the
+    rest fold into an immutable sidecar — per-commit manifest bytes stay
+    O(threshold), not O(commits) (r2 ADVICE: unbounded registry growth)."""
+    import json
+    import os
+
+    t = ManifestTable(str(tmp_path / "fold"), n_buckets=4)
+    t.REGISTRY_FOLD_THRESHOLD = 4
+    job = CDCJob(spark, t, wal, write_mode="mor", compact_threshold=100)
+    job.run_to_watermark(batch_size=300)  # 10 commits at N=3000
+    ids = t.committed_batches()
+    assert len(ids) == 10
+    m = t.manifest()
+    assert len(m["registry_delta"]) < 4
+    assert m["registry_file"] is not None
+    mdir = os.path.join(t.path, "_manifests")
+    with open(os.path.join(mdir, m["registry_file"])) as fh:
+        folded = set(json.load(fh)["batch_ids"])
+    assert folded | set(m["registry_delta"]) == ids
+    # every manifest ever written stayed bounded
+    for name in sorted(f for f in os.listdir(mdir) if f.startswith("v")):
+        with open(os.path.join(mdir, name)) as fh:
+            assert len(json.load(fh)["registry_delta"]) < 4
+    # a cold reader (no in-memory caches) reconstructs the full registry
+    t2 = ManifestTable(str(tmp_path / "fold"), n_buckets=4)
+    assert t2.committed_batches() == ids
+    # and replay skips everything
+    job2 = CDCJob(spark, t2, wal, write_mode="mor", compact_threshold=100)
+    assert job2.run_to_watermark(batch_size=300) == []
 
 
 def test_full_compact_drops_tombstones(spark, wal, oracle, tmp_path):

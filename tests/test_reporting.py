@@ -135,3 +135,48 @@ def test_lww_reduce_matches_grouped_map_oracle(spark):
     from tests.conftest import assert_df_equal
 
     assert_df_equal(lww_reduce(decoded), oracle)
+
+
+def test_publish_incremental_scans_source_once(spark, tmp_path):
+    """The publish's count comes from an Observation on the write job — the
+    source is scanned exactly once (count-then-write would scan twice)."""
+    import pyspark.sql.types as T
+
+    sink = str(tmp_path / "sink_once")
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    tick_udf = F.udf(tick, T.LongType())
+    src = spark.range(0, 100).select(
+        tick_udf(F.col("id")).alias("seq"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 60).alias("published_at"),
+    )
+    assert publish_incremental(spark, src, sink, "published_at") == 100
+    assert acc.value == 100  # one scan; a double-scan would read 200
+
+
+def test_publish_incremental_detects_partitioned_sink(spark, tmp_path):
+    """A PARTITIONED sink (no top-level *.parquet files) must still yield a
+    watermark — a listing-based existence probe would re-append everything."""
+    sink = str(tmp_path / "sink_part")
+
+    def metrics(upto: int):
+        return spark.range(0, upto).select(
+            F.col("id").alias("seq"),
+            F.timestamp_seconds(1700000000 + F.col("id") * 60).alias("published_at"),
+            (F.col("id") % 3).alias("part"),
+        )
+
+    # seed the sink as a PARTITIONED layout
+    metrics(10).write.partitionBy("part").parquet(sink)
+    # identical source: nothing newer than the sink watermark -> 0 appended
+    assert publish_incremental(
+        spark, metrics(10), sink, "published_at", partition_by=["part"]
+    ) == 0
+    assert publish_incremental(
+        spark, metrics(25), sink, "published_at", partition_by=["part"]
+    ) == 15
+    assert spark.read.parquet(sink).select("seq").distinct().count() == 25

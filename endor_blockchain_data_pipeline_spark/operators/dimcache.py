@@ -1,0 +1,118 @@
+"""Metadata-dimension cache round-trip: detect -> resolve -> append -> join.
+
+Reference parity (``tokens/EthereumTokensPipeline.scala:75-100,183-195``):
+the reference keeps a cached token-metadata dimension; each run diffs the
+fact feed's keys against the cache, resolves ONLY the missing keys through
+the external scraper, appends the resolutions to the cached store, and
+broadcast-joins the (cache ∪ fresh) dimension back to the fact. Run 2 over
+the same feed resolves nothing — the cache has converged.
+
+The resolver here is a caller-supplied callable (the F5 driver-side scraper
+seam; SURVEY declares a deterministic fixture in this sandbox — external
+HTTP scraping is not an engine concern). It is invoked with the missing
+keys list driver-side, exactly like the reference's scraper loop: metadata
+dimensions are small (thousands-to-millions of keys) next to the fact feed;
+the heavy side never leaves the cluster.
+
+Scale shape: missing-key detection is a distinct + broadcast anti-join
+(fact shuffles once on the key, dimension broadcasts); the enrich join
+broadcasts the dimension. Only the missing-key LIST is collected — bounded
+by new-keys-per-batch, not feed size.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from endor_blockchain_data_pipeline_spark.operators.joins import missing_dim_keys
+
+
+class DimCache:
+    """Append-only parquet-backed dimension cache keyed on ``key_col``.
+
+    Appends are new files under the cache dir (single writer, like every
+    reference sink); readers see the union. ``load`` returns None while the
+    cache is empty so first-run semantics stay explicit.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, schema: T.StructType, key_col: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.key_col = key_col
+        os.makedirs(path, exist_ok=True)
+
+    def load(self) -> DataFrame | None:
+        # resolution rounds land as SUBDIRECTORIES — existence must look
+        # recursively, never at top-level files only (the partitioned-sink
+        # probe bug class).
+        has_files = any(
+            f.endswith(".parquet")
+            for _root, _dirs, files in os.walk(self.path)
+            for f in files
+        )
+        if not has_files:
+            return None
+        # declared schema: cache files are the engine's own, but drift-proof
+        # reads are free.
+        return (
+            self.spark.read.schema(self.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.path)
+        )
+
+    def append(self, rows: list[dict]) -> int:
+        if not rows:
+            return 0
+        df = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in self.schema.fields) for r in rows],
+            self.schema,
+        )
+        # one file per resolution round, unique name (no clobber on re-runs)
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, f"round-{uuid.uuid4().hex[:12]}")
+        )
+        return len(rows)
+
+
+def enrich_with_cached_dim(
+    fact: DataFrame,
+    cache: DimCache,
+    fact_key: str,
+    resolve_fn,
+    how: str = "left",
+) -> tuple[DataFrame, int]:
+    """The full reference loop. Returns (enriched fact, n_keys_resolved).
+
+    1. missing = distinct fact keys anti-joined against the cache;
+    2. resolve_fn(sorted missing keys) -> list[dict] dimension rows
+       (rows the resolver cannot resolve may be omitted — they stay
+       unmatched in the join and are retried next run, exactly the
+       reference's unresolvable-token behavior);
+    3. append resolutions to the cache;
+    4. broadcast-join the refreshed cache to the fact.
+    """
+    dim = cache.load()
+    if dim is None:
+        missing = fact.select(F.col(fact_key).alias("key")).distinct()
+    else:
+        missing = missing_dim_keys(fact, dim, fact_key, cache.key_col)
+    keys = sorted(r["key"] for r in missing.collect())
+    n_resolved = 0
+    if keys:
+        n_resolved = cache.append(resolve_fn(keys))
+    dim = cache.load()
+    if dim is None:  # nothing ever resolved: enrich with all-null dim cols
+        for f in cache.schema.fields:
+            if f.name != cache.key_col:
+                fact = fact.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return fact, n_resolved
+    enriched = fact.join(
+        F.broadcast(dim), fact[fact_key] == dim[cache.key_col], how
+    ).drop(cache.key_col)
+    return enriched, n_resolved

@@ -323,3 +323,58 @@ def test_text_functions(spark):
     assert res[3][2] == "es"
     assert res[4][0] == 3 and res[4][1] == 6  # 3 words + 3 punct pieces
     assert all(0.0 <= v[3] <= 1.0 for v in res.values())
+
+
+def test_dim_cache_round_trip_converges(spark, tmp_path):
+    """F5 metadata-cache loop (EthereumTokensPipeline.scala:75-100,183-195):
+    run 1 resolves exactly the missing keys; run 2 over the same feed
+    resolves ZERO (the cache converged); enrichment equals a plain join
+    against the full dimension."""
+    import pyspark.sql.types as T
+
+    from endor_blockchain_data_pipeline_spark.operators.dimcache import (
+        DimCache,
+        enrich_with_cached_dim,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("decimals", T.IntegerType()),
+        ]
+    )
+    calls: list[list[str]] = []
+
+    def resolver(keys):
+        calls.append(list(keys))
+        # deterministic fixture scraper; key 'tZ' is unresolvable
+        return [
+            {"key": k, "name": f"token-{k}", "decimals": len(k)}
+            for k in keys
+            if k != "tZ"
+        ]
+
+    fact = spark.createDataFrame(
+        [(i, f"t{i % 4}") for i in range(40)] + [(99, "tZ")],
+        "event_id long, token string",
+    )
+    cache = DimCache(spark, str(tmp_path / "dim"), schema, "key")
+
+    out1, n1 = enrich_with_cached_dim(fact, cache, "token", resolver)
+    assert n1 == 4 and calls[0] == ["t0", "t1", "t2", "t3", "tZ"]
+    assert out1.count() == 41
+    assert out1.where(F.col("name").isNotNull()).count() == 40
+    # the unresolvable key stays null-enriched, not dropped
+    assert out1.where(F.col("token") == "tZ").first()["name"] is None
+
+    out2, n2 = enrich_with_cached_dim(fact, cache, "token", resolver)
+    assert n2 == 0  # run 2: cache converged, only the unresolvable retried
+    assert calls[1] == ["tZ"]
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out1.collect()}
+
+    # a new key in the feed resolves incrementally
+    fact2 = fact.union(spark.createDataFrame([(100, "t7")], fact.schema))
+    out3, n3 = enrich_with_cached_dim(fact2, cache, "token", resolver)
+    assert n3 == 1 and calls[2] == ["t7", "tZ"]
+    assert out3.where(F.col("token") == "t7").first()["name"] == "token-t7"

@@ -145,3 +145,111 @@ def test_resize_shape(spark):
     rows = out.collect()
     assert len(rows) == media.where(F.col("kind") == "image").count()
     assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+
+
+def test_bmp_features_are_real_pixel_decodes(spark):
+    """The BMP path decodes ACTUAL pixels: known images yield exact header
+    dims, pixel statistics and average-luma phash."""
+    import struct
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        extract_image_features,
+        synthesize_bmp,
+    )
+
+    def bmp(width, height, pixel_fn):
+        stride = (width * 3 + 3) & ~3
+        body = b"".join(
+            b"".join(pixel_fn(x, y) for x in range(width))
+            + b"\x00" * (stride - width * 3)
+            for y in range(height - 1, -1, -1)  # bottom-up
+        )
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+            + body
+        )
+
+    gray = bmp(16, 16, lambda x, y: bytes([128, 128, 128]))
+    halves = bmp(16, 16, lambda x, y: bytes([0, 0, 0]) if x < 8 else bytes([255, 255, 255]))
+    rows = [
+        (0, "image", "image/bmp", bytearray(gray), 16, 16, None),
+        (1, "image", "image/bmp", bytearray(halves), 16, 16, None),
+        (2, "image", "image/bmp", bytearray(synthesize_bmp(7, seed=3, width=24, height=16)), 24, 16, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+
+    # solid gray: pixel mean exactly 128, zero entropy, flat phash
+    assert feats[0]["byte_mean"] == 128.0
+    assert feats[0]["byte_entropy"] == 0.0
+    assert feats[0]["phash"] == "0" * 16
+    # black|white halves: mean 127.5, 1 bit of entropy, right-half-lit hash
+    assert feats[1]["byte_mean"] == 127.5
+    assert abs(feats[1]["byte_entropy"] - 1.0) < 1e-9
+    assert feats[1]["phash"] == "0f" * 8
+    # header dims round-trip on the synthetic fixture
+    w, h, px_rows = decode_bmp(synthesize_bmp(7, seed=3, width=24, height=16))
+    assert (w, h) == (24, 16) and len(px_rows) == 16 and len(px_rows[0]) == 72
+
+
+def test_image_features_dispatch_bmp_vs_stub(spark):
+    """Mixed-format batches: BMP blobs take the pixel kernel, non-BMP blobs
+    the byte-stats stub — same schema, one mapInPandas pass."""
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_image_media,
+        synthesize_media,
+    )
+
+    bmps = synthesize_image_media(spark, n=6, seed=5)
+    fake = synthesize_media(spark, n=24, seed=3).where(F.col("kind") == "image")
+    feats = extract_image_features(bmps.unionByName(fake))
+    got = feats.collect()
+    assert len(got) == 6 + fake.count()
+    assert all(len(r["phash"]) == 16 for r in got)
+    # determinism across partitionings (the fixture contract)
+    again = extract_image_features(bmps.unionByName(fake).repartition(5)).collect()
+    assert sorted((r["media_id"], r["phash"], r["byte_mean"]) for r in got) == sorted(
+        (r["media_id"], r["phash"], r["byte_mean"]) for r in again
+    )
+
+
+def test_audio_features_8bit_and_reject_unsupported(spark):
+    """Sample-width dispatch: 8-bit PCM decodes; 24-bit raises clearly."""
+    import io
+    import wave
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    def wav(sampwidth, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(sampwidth)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    eight = wav(1, bytes([128, 228, 28, 128]))  # midpoint 128 => samples 0,100,-100,0
+    media = spark.createDataFrame(
+        [(0, "audio", "audio/wav", bytearray(eight), None, None, None)], MEDIA_SCHEMA
+    )
+    r = extract_audio_features(media).collect()[0]
+    assert r["n_samples"] == 4 and r["sample_rate"] == 8000
+    assert abs(r["rms"] - (20000 / 4) ** 0.5) < 1e-9
+
+    bad = wav(3, b"\x00" * 12)
+    media_bad = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(bad), None, None, None)], MEDIA_SCHEMA
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="only 8/16-bit PCM"):
+        extract_audio_features(media_bad).collect()

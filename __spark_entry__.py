@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for EVERY query (36/36 — hash-reproducible recipes
+DuckDB-equivalent SQL for EVERY query (37/37 — hash-reproducible recipes
 only: md5-derived randomness, decimal-exact sums, no HUGEINT/DECIMAL/array
 output types). Column names/aliases match exactly between both sides.
 

@@ -224,9 +224,9 @@ def dup_clusters(
       clusters (dense blobs of mutual similarity) is small; ``max_iters``
       bounds the worst case and the convergence log line reports the actual
       count;
-    - the per-iteration ``count()`` action is the convergence test — one
-      cheap scan of the just-checkpointed labels, standard for iterative
-      CC at any scale.
+    - the convergence test rides the SAME job as the checkpoint: an
+      ``Observation`` sums changed labels while the materialization runs —
+      one Spark action per iteration total, no separate count scan.
 
     Returns one row per node that appears in ``pairs``:
     ``(node, cluster_id)`` where cluster_id = min node id in the connected
@@ -242,6 +242,8 @@ def dup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node")
     )
+    from pyspark.sql import Observation
+
     iters_run = 0
     changed = -1
     for _ in range(max_iters):
@@ -251,19 +253,23 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_lbl"))
         )
+        obs = Observation()
         upd = (
             labels.withColumnRenamed("cluster_id", "old_lbl")
             .join(nbr_min, F.col("node") == nbr_min["src"], "left")
             .select(
                 "node",
-                "old_lbl",
                 F.least(F.col("old_lbl"), F.coalesce("nbr_lbl", "old_lbl")).alias(
                     "cluster_id"
                 ),
+                (F.coalesce("nbr_lbl", "old_lbl") < F.col("old_lbl"))
+                .cast("int")
+                .alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("n_changed"))
             .localCheckpoint(eager=True)
         )
-        changed = upd.where(F.col("cluster_id") != F.col("old_lbl")).count()
+        changed = int(obs.get["n_changed"] or 0)
         labels = upd.select("node", "cluster_id")
         if changed == 0:
             break

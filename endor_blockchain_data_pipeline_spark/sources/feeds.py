@@ -267,8 +267,10 @@ class JdbcFeed:
             f"(SELECT MAX(lsn) AS max_lsn FROM {self.table}) src_max",
             properties=self.properties,
         )
+        # positional: identifier case is DB-specific (Derby/Oracle uppercase
+        # unquoted aliases, MySQL preserves) — the probe has one column.
         row = probe.first()
-        return -1 if row is None or row["max_lsn"] is None else int(row["max_lsn"])
+        return -1 if row is None or row[0] is None else int(row[0])
 
     def partition_info(self, lo: int, hi: int) -> dict:
         """The range-partitioning Spark's JDBC reader will stripe with.
@@ -294,10 +296,13 @@ class JdbcFeed:
             f"(SELECT lsn, op, conv_id, turn_idx, payload, ts FROM {self.table} "
             f"WHERE lsn > {int(lo)} AND lsn <= {int(hi)}) feed"
         )
-        return self.spark.read.jdbc(
+        df = self.spark.read.jdbc(
             self.url,
             subquery,
             column="lsn",
             properties=self.properties,
             **self.partition_info(lo, hi),
         )
+        # normalize identifier case to the WAL contract (Derby/Oracle
+        # uppercase unquoted column names).
+        return df.toDF("lsn", "op", "conv_id", "turn_idx", "payload", "ts")

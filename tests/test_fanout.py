@@ -127,12 +127,16 @@ def test_fanout_partial_replay_fills_only_missing_sinks(spark, wal, tables):
     assert res3["tool"] is not None and res3["stats"] is not None
 
 
-def test_winner_broadcast_guard_switches_to_window(spark, wal):
-    """est_rows above MERGE_BROADCAST_ROW_LIMIT must take the window path
-    (no broadcast anywhere) with identical winners."""
+def test_winner_broadcast_guard_switches_to_shuffle_hash(spark, wal):
+    """est_rows above WINNER_BROADCAST_ROW_LIMIT must take the shuffle-hash
+    join-back (no broadcast, no sort of the feed) with identical winners."""
+    from endor_blockchain_data_pipeline_spark.operators import merge as merge_mod
+
     raw = ranged_scan(wal, -1, 999)
     fast = lww_winner_rows(raw)
-    guarded = lww_winner_rows(raw, est_rows=ManifestTable.MERGE_BROADCAST_ROW_LIMIT + 1)
-    assert "Broadcast" in physical_plan(fast)
-    assert "Broadcast" not in physical_plan(guarded)
+    guarded = lww_winner_rows(raw, est_rows=merge_mod.WINNER_BROADCAST_ROW_LIMIT + 1)
+    assert "BroadcastHashJoin" in physical_plan(fast)
+    gplan = physical_plan(guarded)
+    assert "ShuffledHashJoin" in gplan
+    assert "BroadcastHashJoin" not in gplan and "SortMergeJoin" not in gplan
     assert_df_equal(fast, guarded)

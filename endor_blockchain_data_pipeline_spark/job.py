@@ -194,6 +194,40 @@ class CDCJob:
         return self.table.read(self.spark)
 
 
+def run_fanout_to_watermark(
+    spark: SparkSession,
+    wal: DataFrame,
+    state_table: ManifestTable,
+    tool_table: ManifestTable,
+    stats_table: ManifestTable,
+    batch_size: int,
+    limit_batches: int | None = None,
+) -> list[dict]:
+    """E2 catch-up loop: every batch fans out to state + tool + stats sinks
+    off ONE persisted decode (``operators/fanout.py``). The resume watermark
+    is the MINIMUM of the three sinks' watermarks, so a crash between sink
+    commits re-enters the partially-applied batch and fills only the
+    missing sinks (their batch registries skip the done ones)."""
+    from endor_blockchain_data_pipeline_spark.operators.fanout import fanout_batch
+
+    lo = min(t.watermark() for t in (state_table, tool_table, stats_table))
+    hi_max = source_max(wal)
+    results = []
+    while lo < hi_max:
+        hi = min(lo + batch_size, hi_max)
+        raw = ranged_scan(wal, lo, hi)
+        results.append(
+            fanout_batch(
+                raw, CDCJob.batch_id_for(lo, hi), lo, hi,
+                state_table, tool_table, stats_table, est_rows=hi - lo,
+            )
+        )
+        lo = hi
+        if limit_batches is not None and len(results) >= limit_batches:
+            break
+    return results
+
+
 def brute_force_state(decoded_wal: DataFrame) -> DataFrame:
     """Replay oracle: one-shot LWW over the WHOLE decoded WAL.
 
@@ -221,6 +255,12 @@ if __name__ == "__main__":
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--salted", action="store_true")
     ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    ap.add_argument(
+        "--fanout",
+        action="store_true",
+        help="E2 multi-sink mode: each batch decodes ONCE and commits three "
+        "sinks — <table> (state), <table>_tool, <table>_stats",
+    )
     ap.add_argument("--compact-threshold", type=int, default=8)
     ap.add_argument(
         "--feed",
@@ -264,6 +304,25 @@ if __name__ == "__main__":
             raise SystemExit(f"unknown feed kind {kind!r}")
     else:
         wal = generate_wal(spark, args.events, n_convs=args.convs)
+    if args.fanout:
+        tool_t = ManifestTable(args.table + "_tool", n_buckets=args.buckets)
+        stats_t = ManifestTable(
+            args.table + "_stats", n_buckets=args.buckets,
+            key_cols=("conv_id", "batch_id"), bucket_key="conv_id",
+        )
+        lo0 = min(t.watermark() for t in (table, tool_t, stats_t))
+        t0 = time.time()
+        commits = run_fanout_to_watermark(
+            spark, wal, table, tool_t, stats_t, args.batch_size
+        )
+        dt = time.time() - t0
+        applied = sum(1 for r in commits if any(v is not None for v in r.values()))
+        n = max(table.watermark() - lo0, 0) if args.feed else args.events
+        print(
+            f"fanout applied {applied} batches x 3 sinks, {n} events in "
+            f"{dt:.1f}s = {n/max(dt,1e-9):,.0f} events/sec"
+        )
+        raise SystemExit(0)
     job = CDCJob(
         spark, table, wal, salted=args.salted,
         write_mode=args.mode, compact_threshold=args.compact_threshold,

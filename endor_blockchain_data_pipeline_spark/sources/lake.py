@@ -741,4 +741,20 @@ class ManifestTable:
                     os.rmdir(sdir)
             if not os.listdir(cdir):
                 os.rmdir(cdir)
+        # Registry sidecars superseded by a later fold: only the LATEST
+        # manifest's pointer is ever read, so older sidecars are dead weight.
+        # The same grace window protects a sidecar written just ahead of its
+        # (not yet committed) manifest.
+        live_reg = m.get("registry_file") if m else None
+        for f in list(os.listdir(self._manifest_dir)):
+            if not f.startswith("registry-") or f == live_reg:
+                continue
+            p = os.path.join(self._manifest_dir, f)
+            try:
+                if now - os.path.getmtime(p) < grace_sec:
+                    continue
+                os.remove(p)
+                removed += 1
+            except OSError:
+                continue
         return removed

@@ -179,6 +179,14 @@ def test_registry_folds_into_bounded_sidecar(spark, wal, tmp_path):
     # and replay skips everything
     job2 = CDCJob(spark, t2, wal, write_mode="mor", compact_threshold=100)
     assert job2.run_to_watermark(batch_size=300) == []
+    # vacuum reclaims superseded sidecars, keeps the live one, registry intact
+    n_reg_before = len([f for f in os.listdir(mdir) if f.startswith("registry-")])
+    assert n_reg_before >= 2  # threshold 4 over 10 commits folds twice
+    t2.vacuum(grace_sec=0)
+    regs = [f for f in os.listdir(mdir) if f.startswith("registry-")]
+    assert regs == [t2.manifest()["registry_file"]]
+    t3 = ManifestTable(str(tmp_path / "fold"), n_buckets=4)
+    assert t3.committed_batches() == ids
 
 
 def test_full_compact_drops_tombstones(spark, wal, oracle, tmp_path):

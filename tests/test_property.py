@@ -224,3 +224,44 @@ def test_concurrent_commit_collision_detected(spark, tmp_path):
     # winner's manifest intact
     assert t1.manifest(1)["batch_id"] == "w1"
     assert len(os.listdir(os.path.join(str(tmp_path / "c"), "_manifests"))) == 1
+
+
+# -------- connected components vs a pure-Python union-find oracle --------
+
+pairs_st = st.lists(
+    st.tuples(st.integers(0, 19), st.integers(0, 19)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pairs_st)
+def test_dup_clusters_matches_union_find(spark, raw_pairs):
+    """Label propagation == classic union-find on arbitrary random graphs
+    (self-loops excluded; duplicates and both orientations allowed)."""
+    from endor_blockchain_data_pipeline_spark.operators.dedup import dup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in raw_pairs:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw_pairs], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == expected

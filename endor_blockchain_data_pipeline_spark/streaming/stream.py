@@ -91,6 +91,52 @@ def stream_wal_to_table(
     )
 
 
+def stream_wal_fanout(
+    spark: SparkSession,
+    wal_dir: str,
+    state_table: ManifestTable,
+    tool_table: ManifestTable,
+    stats_table: ManifestTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming E2: each micro-batch decodes ONCE and fans out to the
+    state + tool + stats sinks (``operators/fanout.py``) under the same
+    epoch-qualified batch id. foreachBatch's at-least-once re-delivery is
+    absorbed per sink by each table's batch registry, so a crash between
+    sink commits heals on the next delivery — the streaming analog of the
+    batch fan-out's partial-replay contract."""
+    from endor_blockchain_data_pipeline_spark.operators.fanout import fanout_batch
+
+    reader = (
+        spark.readStream.schema(WAL_SCHEMA)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(wal_dir)
+
+    def apply_batch(micro: DataFrame, epoch_id: int) -> None:
+        if micro.isEmpty():
+            return
+        bounds = micro.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
+        ).first()
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        batch_id = f"stream-{epoch_id}-{lo}-{hi}-{int(bounds['n'])}"
+        fanout_batch(
+            micro, batch_id, lo - 1, hi, state_table, tool_table, stats_table,
+            est_rows=int(bounds["n"]),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_wal_stream(
     spark: SparkSession, wal_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -133,3 +133,62 @@ def test_running_conv_state_stateful(spark, tmp_path):
 
     per_conv_emissions = Counter(r["conv_id"] for r in rows)
     assert max(per_conv_emissions.values()) > 1
+
+
+def test_stream_fanout_three_sinks(spark, tmp_path):
+    """Streaming E2: micro-batches fan out to state/tool/stats off one
+    decode; all sinks equal batch recomputes; checkpoint restart is a no-op."""
+    from endor_blockchain_data_pipeline_spark.operators.fanout import (
+        conv_stats_view,
+        tool_calls_view,
+    )
+    from endor_blockchain_data_pipeline_spark.streaming.stream import stream_wal_fanout
+
+    n = 1500
+    wal = generate_wal(spark, n, n_convs=24, max_turns=6, seed=33, tool_from_lsn=0)
+    wal_dir = str(tmp_path / "drops")
+    write_wal_batches(wal, wal_dir, batch_size=500, n_events=n)
+
+    state_t = ManifestTable(str(tmp_path / "state"), n_buckets=4)
+    tool_t = ManifestTable(str(tmp_path / "tool"), n_buckets=4)
+    stats_t = ManifestTable(
+        str(tmp_path / "stats"), n_buckets=4,
+        key_cols=("conv_id", "batch_id"), bucket_key="conv_id",
+    )
+    q = stream_wal_fanout(
+        spark, wal_dir, state_t, tool_t, stats_t,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    # state sink == replay oracle
+    assert_df_equal(state_t.read(spark), brute_force_state(decode_changes(wal)))
+    # tool sink == tool-bearing LATEST turns (LWW across micro-batches)
+    tool_read = tool_t.read(spark)
+    assert tool_read.count() > 0
+    assert tool_read.where(F.col("tool").isNull()).count() == 0
+    # stats sink: per-(conv, micro-batch) facts — for EVERY committed batch
+    # the stats row sums must equal the state sink's appended generation for
+    # that batch (both sides come from the same single decode).
+    stats_read = stats_t.read(spark, with_internal=True)
+    for batch_id in sorted(state_t.committed_batches()):
+        n_state = state_t.read(spark, batch_ids=[batch_id], with_internal=True).count()
+        n_stats = (
+            stats_read.where(F.col("batch_id") == batch_id)
+            .agg(F.sum("n_turns_changed"))
+            .first()[0]
+        )
+        assert n_stats == n_state, batch_id
+
+    # all three sinks share the same committed batch ids
+    assert state_t.committed_batches() == tool_t.committed_batches() == stats_t.committed_batches()
+
+    # restart over the same checkpoint: nothing new anywhere
+    versions = (state_t.current_version(), tool_t.current_version(), stats_t.current_version())
+    q2 = stream_wal_fanout(
+        spark, wal_dir, state_t, tool_t, stats_t, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(60)
+    assert versions == (
+        state_t.current_version(), tool_t.current_version(), stats_t.current_version()
+    )

@@ -604,8 +604,10 @@ _SQL_LSH_PAIRS_CTES = """
                    UNNEST(range(1, greatest(len(text) - 11, 1) + 1)) AS t(i)),
             sigs AS (
               SELECT doc_id,
-                     min(md5('h0:' || sh)) AS mh0, min(md5('h1:' || sh)) AS mh1,
-                     min(md5('h2:' || sh)) AS mh2, min(md5('h3:' || sh)) AS mh3
+                     min(('0x' || substr(md5('h0:' || sh), 1, 15))::BIGINT) AS mh0,
+                     min(('0x' || substr(md5('h1:' || sh), 1, 15))::BIGINT) AS mh1,
+                     min(('0x' || substr(md5('h2:' || sh), 1, 15))::BIGINT) AS mh2,
+                     min(('0x' || substr(md5('h3:' || sh), 1, 15))::BIGINT) AS mh3
               FROM sh GROUP BY doc_id),
             bands AS (
               SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sigs
@@ -815,8 +817,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents,
                    UNNEST(range(1, greatest(len(text) - 11, 1) + 1)) AS t(i))
             SELECT doc_id,
-                   min(md5('h0:' || sh)) AS mh0, min(md5('h1:' || sh)) AS mh1,
-                   min(md5('h2:' || sh)) AS mh2, min(md5('h3:' || sh)) AS mh3
+                   min(('0x' || substr(md5('h0:' || sh), 1, 15))::BIGINT) AS mh0,
+                   min(('0x' || substr(md5('h1:' || sh), 1, 15))::BIGINT) AS mh1,
+                   min(('0x' || substr(md5('h2:' || sh), 1, 15))::BIGINT) AS mh2,
+                   min(('0x' || substr(md5('h3:' || sh), 1, 15))::BIGINT) AS mh3
             FROM sh GROUP BY doc_id
         """,
         "ann_topk": """

@@ -107,10 +107,10 @@ def run_queries() -> dict[str, float]:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
-    # The engine-native xxhash64 MinHash (long agg buffers, HashAggregate)
-    # timed alongside the md5 oracle recipe: same signature contract, the
-    # 100-TB path. Bench-local on purpose — not cross-engine reproducible,
-    # so it has no oracle row (the md5 query keeps that).
+    # The engine-native xxhash64 MinHash timed alongside the md5_long oracle
+    # recipe: same signature contract, no hex round-trip. Bench-local on
+    # purpose — not cross-engine reproducible, so it has no oracle row (the
+    # md5_long query keeps that).
     from endor_blockchain_data_pipeline_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -414,12 +414,14 @@ commit), which the scaling curve above evidences.
             fh.write(f"| {k} | {v} |\n")
         fh.write(f"| **total** | **{result['value']}** |\n")
         fh.write(
-            "\n`minhash_signatures` is the md5 recipe (DuckDB-oracle-"
-            "reproducible, string agg buffers => SortAggregate); "
-            "`minhash_signatures_xxhash64` is the same signature contract on "
-            "engine-native 64-bit hashes (long buffers => HashAggregate) — "
-            "the 100-TB path. Both are timed so the headline shows the scale "
-            "path next to the oracle recipe.\n"
+            "\n`minhash_signatures` is the md5_long recipe — min over the "
+            "first 60 md5 bits as BIGINT, still DuckDB-oracle-reproducible "
+            "(`('0x'||substr(md5,1,15))::BIGINT`) but with fixed-width long "
+            "agg buffers => HashAggregate, so the oracle-checked recipe IS "
+            "the scale plan. `minhash_signatures_xxhash64` is the same "
+            "signature contract on engine-native seeded 64-bit hashes (no "
+            "hex round-trip at all) — the residual gap between the two is "
+            "the md5+conv cost.\n"
         )
 
 

@@ -13,10 +13,13 @@ All distributed, shuffle-conscious designs:
 - n-gram Jaccard: exact similarity for candidate pairs (small sides only).
 - embedding cosine near-dup: see operators/similarity.py.
 
-Portability note: every hash here is md5-hex-string based so DuckDB can run
-the identical computation as the correctness oracle (xxhash64/murmur are
-engine-specific). At 100 TB you would swap md5 for xxhash64 — the plan
-shape (explode -> partial agg -> band groupBy) is unchanged.
+Portability note: every hash here is md5-derived so DuckDB can run the
+identical computation as the correctness oracle (xxhash64/murmur are
+engine-specific). The default minhash recipe ("md5_long") takes the min
+over the first 60 bits of the md5 as a BIGINT — the oracle reproduces it
+bit-for-bit AND the agg buffers stay fixed-width (HashAggregate). At
+100 TB you may still swap in xxhash64 to skip the hex round-trip — the
+plan shape (explode -> partial agg -> band groupBy) is unchanged.
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k_shingle: int = 12,
     n_hashes: int = 8,
-    hash_fn: str = "md5",
+    hash_fn: str = "md5_long",
 ) -> DataFrame:
     """Per-doc MinHash signature: n_hashes columns mh0..mh{n-1}.
 
@@ -60,13 +63,21 @@ def minhash_signatures(
     combine; shingle fan-out never leaves the map stage.
 
     ``hash_fn``:
-    - ``"md5"`` (default): hex-string hashes, bit-identical in DuckDB — the
-      oracle-checkable recipe. Cost: one md5 per (shingle, i).
-    - ``"xxhash64"``: the 100-TB path — engine-native 64-bit hashes, one
-      seeded xxhash64 per (shingle, i), long min-agg buffers instead of
-      strings (~3-4x cheaper end-to-end, measured). Same estimator, not
-      cross-engine reproducible; LSH banding/candidates work identically
-      (tested equivalent on near-dup recall).
+    - ``"md5"``: hex-string hashes, bit-identical in DuckDB. Cost: string
+      min-agg buffers demote the groupBy to SortAggregate (any string
+      buffer does).
+    - ``"md5_long"`` (default): same md5 stream, but the min runs over the
+      first 60 bits as a BIGINT (``conv(substr(md5,1,15),16,10)``). Equal-
+      length lowercase hex sorts lexicographically == numerically, so it is
+      the same permutation family truncated to 60 bits; buffers are longs →
+      HashAggregate with map-side combine. Still bit-identical in DuckDB
+      (``('0x' || substr(md5(..),1,15))::BIGINT``) — portable AND the fast
+      plan, so the oracle-checked recipe IS the scale plan. (At small SF the
+      md5 evaluation itself dominates and the two time alike; the hash-vs-
+      sort buffer gap grows with group cardinality and combine ratio.)
+    - ``"xxhash64"``: engine-native seeded 64-bit hashes — cheapest (no hex
+      round-trip at all), not cross-engine reproducible; LSH banding and
+      candidates work identically (tested equivalent on near-dup recall).
     """
     shingled = df.select(
         F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
@@ -74,6 +85,19 @@ def minhash_signatures(
     if hash_fn == "xxhash64":
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_fn == "md5_long":
+        aggs = [
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"h{i}:"), F.col("sh"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh{i}")
             for i in range(n_hashes)
         ]
     else:
@@ -134,7 +158,7 @@ def minhash_candidates(
     n_hashes: int = 8,
     n_bands: int = 4,
     max_bucket_size: int | None = None,
-    hash_fn: str = "md5",
+    hash_fn: str = "md5_long",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via LSH band bucket self-join.
 

@@ -146,6 +146,11 @@ def test_minhash_xxhash64_fast_path_equivalent_recall(spark, docs):
     sigs = minhash_signatures(docs, k_shingle=8, n_hashes=8, hash_fn="xxhash64")
     assert dict(sigs.dtypes)["mh0"] == "bigint"
     assert "HashAggregate" in physical_plan(sigs)
+    # ... and so does the DEFAULT (md5_long) recipe: the oracle-checked
+    # path must be the fast plan, not a string-buffer SortAggregate.
+    dsigs = minhash_signatures(docs, k_shingle=8, n_hashes=8)
+    assert dict(dsigs.dtypes)["mh0"] == "bigint"
+    assert "HashAggregate" in physical_plan(dsigs)
 
 
 def test_lsh_bucket_cap_defuses_giant_bucket(spark, docs):

@@ -226,18 +226,69 @@ def ngram_jaccard(
     )
 
 
+import os
+
+# Below this many distinct candidate pairs, connected components runs as a
+# driver-side union-find on the collected pair list instead of iterative
+# label propagation. The pairs table is the SMALL artifact of the pipeline —
+# LSH bucket caps bound pairs-per-doc, so even a 100-TB corpus yields pairs
+# orders of magnitude smaller than the corpus — and union-find is
+# O(E α(E)) with zero per-iteration job latency, while each propagation
+# iteration costs a full join+agg+checkpoint round trip. Same adaptive
+# discipline as the merge path's broadcast gates. 0 disables (always
+# distributed).
+DUP_CLUSTERS_DRIVER_PAIR_LIMIT = int(
+    os.environ.get("DUP_CLUSTERS_DRIVER_PAIR_LIMIT", "1000000")
+)
+
+
+def _union_find_clusters(rows, spark, id_type) -> DataFrame:
+    """Driver-side CC over collected (src, dst) rows -> (node, cluster_id)."""
+    import pyspark.sql.types as T
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("cluster_id", id_type)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    driver_pair_limit: int | None = None,
 ) -> DataFrame:
     """Fold candidate near-dup pairs into duplicate clusters.
 
-    Distributed connected components by iterative hash-min label propagation
-    (the classic Spark-friendly CC: each node repeatedly adopts the minimum
-    label among itself and its neighbors until fixpoint). Pure DataFrame —
-    no GraphFrames dependency, no driver-side graph:
+    Adaptive connected components:
+
+    - **small pair sets** (≤ ``driver_pair_limit``, default
+      ``DUP_CLUSTERS_DRIVER_PAIR_LIMIT``): collect the distinct pairs and
+      run union-find on the driver — O(E α(E)), one Spark action total.
+      The pairs table is bounded by the LSH bucket caps, not the corpus, so
+      this is the common case; the collect is bounded by the limit, never
+      the corpus.
+    - **large pair sets**: distributed iterative hash-min label propagation
+      (the classic Spark-friendly CC: each node repeatedly adopts the
+      minimum label among itself and its neighbors until fixpoint). Pure
+      DataFrame — no GraphFrames dependency, no driver-side graph:
 
     - every iteration is one shuffle join (edges x labels) + one min-agg,
       both partition-parallel; labels are ``localCheckpoint``-ed per
@@ -257,12 +308,34 @@ def dup_clusters(
     component. Nodes in no pair are singletons by definition and are not
     emitted (join back with ``dedup_resolution`` for the corpus-wide list).
     """
-    edges = (
+    limit = (
+        DUP_CLUSTERS_DRIVER_PAIR_LIMIT
+        if driver_pair_limit is None
+        else driver_pair_limit
+    )
+    undirected = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
         .persist()
     )
+    n_pairs = undirected.count()  # also materializes the persist
+    if limit and n_pairs <= limit:
+        rows = undirected.collect()
+        id_type = pairs.schema[id_a].dataType
+        out = _union_find_clusters(rows, pairs.sparkSession, id_type)
+        undirected.unpersist()
+        logger.info(
+            "dup_clusters: driver union-find over %d pairs (limit %d)",
+            n_pairs,
+            limit,
+        )
+        return out
+    # doubled edge list off the materialized undirected set (orientations
+    # cannot collide: src != dst and the undirected set is distinct)
+    edges = undirected.unionByName(
+        undirected.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node")
     )
@@ -298,6 +371,7 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    undirected.unpersist()
     logger.info(
         "dup_clusters: %s after %d iteration(s), %d label change(s) in last pass",
         "converged" if changed == 0 else f"stopped at max_iters={max_iters}",

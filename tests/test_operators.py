@@ -83,8 +83,14 @@ def test_dup_clusters_transitive_chain(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
     )
-    cc = {r["node"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
-    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # both CC paths: driver union-find (small side of the adaptive switch)
+    # and distributed label propagation (driver_pair_limit=0 forces it)
+    for lim in (None, 0):
+        cc = {
+            r["node"]: r["cluster_id"]
+            for r in dup_clusters(pairs, driver_pair_limit=lim).collect()
+        }
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}, f"limit={lim}"
 
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 20, 21)],
@@ -109,9 +115,15 @@ def test_dup_clusters_max_iters_bound(spark):
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
     )
-    one_hop = {r["node"]: r["cluster_id"] for r in dup_clusters(path, max_iters=1).collect()}
+    one_hop = {
+        r["node"]: r["cluster_id"]
+        for r in dup_clusters(path, max_iters=1, driver_pair_limit=0).collect()
+    }
     assert one_hop[6] == 5  # moved exactly one hop, not converged
-    full = {r["node"]: r["cluster_id"] for r in dup_clusters(path).collect()}
+    full = {
+        r["node"]: r["cluster_id"]
+        for r in dup_clusters(path, driver_pair_limit=0).collect()
+    }
     assert set(full.values()) == {1}
 
 

@@ -263,5 +263,10 @@ def test_dup_clusters_matches_union_find(spark, raw_pairs):
     pairs = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in raw_pairs], "id_a long, id_b long"
     )
-    got = {r["node"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    # driver_pair_limit=0 forces the DISTRIBUTED label-propagation path —
+    # the adaptive driver path is itself union-find (covered by unit tests).
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dup_clusters(pairs, driver_pair_limit=0).collect()
+    }
     assert got == expected

@@ -33,6 +33,7 @@ from endor_blockchain_data_pipeline_spark.operators.dedup import (
     minhash_signatures,
 )
 from endor_blockchain_data_pipeline_spark.operators.ohlc import double_entry_flip, ohlc
+from endor_blockchain_data_pipeline_spark.plans.partitioning import parallelize_for_fanout
 from endor_blockchain_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     srp_topk,
@@ -275,7 +276,9 @@ def q_double_entry_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # row-multiplying explode over a byte-sized (few-partition) scan: spread
+    # the compact rows first or the fan-out serializes on one core
+    d = parallelize_for_fanout(_t(spark, sf_dir, "documents"))
     words = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
     return words.groupBy("word").agg(F.count("*").alias("n")).where(F.col("n") >= 20)
 
@@ -288,7 +291,9 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # token_count's regex splits build per-row arrays — compute-dense over a
+    # byte-sized scan, same fan-out-parallelism rule as the explodes
+    d = parallelize_for_fanout(_t(spark, sf_dir, "documents"))
     return d.groupBy("lang").agg(
         F.sum(token_count_expr("text").cast("long")).alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
@@ -297,7 +302,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = parallelize_for_fanout(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         quality_score_expr("text").alias("quality"),

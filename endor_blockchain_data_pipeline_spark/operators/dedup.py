@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from endor_blockchain_data_pipeline_spark.functions.text import char_shingles, fingerprint_expr
+from endor_blockchain_data_pipeline_spark.plans.partitioning import parallelize_for_fanout
 
 logger = logging.getLogger(__name__)
 
@@ -79,7 +80,7 @@ def minhash_signatures(
       round-trip at all), not cross-engine reproducible; LSH banding and
       candidates work identically (tested equivalent on near-dup recall).
     """
-    shingled = df.select(
+    shingled = parallelize_for_fanout(df).select(
         F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
     )
     if hash_fn == "xxhash64":
@@ -110,19 +111,25 @@ def minhash_signatures(
 
 def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> DataFrame:
     """Signature -> (band_idx, band_key) rows; docs sharing a band_key are
-    near-dup candidates. rows_per_band = n_hashes / n_bands."""
+    near-dup candidates. rows_per_band = n_hashes / n_bands.
+
+    Single pass: ``posexplode`` over the array of band keys evaluates the
+    signature subtree (scan + shingle explode + min-agg) exactly once; a
+    union of n_bands selects would evaluate it once per band (Catalyst does
+    not dedupe union branches and no exchange reuse fires). Measured
+    fastest once the fan-out repartition gives the subtree full
+    parallelism. Callers that read bands more than once (the candidate
+    self-join) materialize it first — see ``minhash_candidates``."""
     mh_cols = [c for c in sigs.columns if c.startswith("mh")]
     rows = len(mh_cols) // n_bands
-    out = []
-    for b in range(n_bands):
-        band = F.md5(F.concat_ws("|", *[F.col(mh_cols[b * rows + j]) for j in range(rows)]))
-        out.append(
-            sigs.select(F.col(id_col), F.lit(b).alias("band_idx"), band.alias("band_key"))
-        )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+    band_keys = [
+        F.md5(F.concat_ws("|", *[F.col(mh_cols[b * rows + j]) for j in range(rows)]))
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
 
 
 def cap_bucket_size(
@@ -167,12 +174,20 @@ def minhash_candidates(
     giant bucket would go quadratic in one task — see ``cap_bucket_size``);
     AQE skew-join splitting covers residual imbalance below the cap.
     ``hash_fn="xxhash64"`` selects the engine-native fast signatures.
+
+    The bands table (n_bands rows per doc — tiny next to the shingle
+    fan-out that builds it) is materialized via ``localCheckpoint`` before
+    the self-join: a lazy self-join would evaluate the whole scan + shingle
+    explode + min-agg subtree once PER SIDE (Catalyst plans self-joins as
+    two independent subtrees; no exchange reuse fires here — measured ~2x).
+    On a real cluster ``checkpoint()`` to a reliable dir has the same call
+    shape with executor-loss resilience.
     """
     bands = lsh_bands(
         minhash_signatures(df, text_col, id_col, k_shingle, n_hashes, hash_fn),
         id_col,
         n_bands,
-    )
+    ).localCheckpoint(eager=True)
     bands = cap_bucket_size(bands, ["band_idx", "band_key"], max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -200,10 +215,23 @@ def ngram_jaccard(
     Joins each side's distinct shingle set; |A∩B| via inner join on shingle,
     |A∪B| = |A|+|B|-|A∩B|. Only candidate pairs are scored — the all-pairs
     explosion never happens.
+
+    Scale shape: only docs that appear in a pair are shingled at all (semi
+    join first — the pair set is bounded by the LSH bucket caps, the corpus
+    is not), and the distinct shingle set is materialized once
+    (``localCheckpoint``) instead of re-evaluating the explode subtree for
+    each of its three readers (sizes, side a, side b).
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh"))
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
+    )
+    sh = (
+        parallelize_for_fanout(df.join(ids, id_col, "leftsemi"))
+        .select(F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
@@ -426,7 +454,7 @@ def simhash_bands(
     in a single pass. Docs with zero tokens have no signature (no rows).
     """
     c = F.lower(F.trim(F.col(text_col)))
-    toks = df.select(
+    toks = parallelize_for_fanout(df).select(
         F.col(id_col), F.explode(F.split(c, r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
     h = F.md5(F.col("tok"))
@@ -472,9 +500,11 @@ def dedup_simhash(
 
     For 64-bit simhash and 16-bit bands, docs within Hamming distance 3 are
     guaranteed to share >= 1 band (pigeonhole). ``max_bucket_size`` applies
-    the same giant-bucket skew cap as the MinHash-LSH join.
+    the same giant-bucket skew cap as the MinHash-LSH join. The bands table
+    is materialized before the self-join (same rationale as
+    ``minhash_candidates``: two lazy subtrees otherwise).
     """
-    bands = simhash_bands(df, text_col, id_col, band_bits)
+    bands = simhash_bands(df, text_col, id_col, band_bits).localCheckpoint(eager=True)
     bands = cap_bucket_size(bands, ["band_idx", "band_val"], max_bucket_size)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (

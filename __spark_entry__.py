@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for EVERY query (37/37 — hash-reproducible recipes
+DuckDB-equivalent SQL for EVERY query (40/40 — hash-reproducible recipes
 only: md5-derived randomness, decimal-exact sums, no HUGEINT/DECIMAL/array
 output types). Column names/aliases match exactly between both sides.
 
@@ -316,6 +316,44 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(d, "text", "doc_id")
 
 
+# ------------------------------------------------------------ temporal ops
+
+
+def q_asof_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 7th event probes "latest prior state for this
+    user at my timestamp" against the remaining events. Union+window plan
+    (one shuffle, no probe x state blow-up) vs DuckDB's native ASOF JOIN
+    as the oracle — the reference pattern for temporal CDC lookups."""
+    from endor_blockchain_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    # states deduped to one row per (user_id, ts): unique as-of answers
+    states = (
+        ev.where(F.col("event_id") % 7 != 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("lsn"),
+            F.max_by("event_type", "event_id").alias("role"),
+        )
+    )
+    probes = ev.where(F.col("event_id") % 7 == 0).select(
+        "user_id", F.col("event_id").alias("probe_lsn"), "ts"
+    )
+    return asof_join(
+        probes, states, on="user_id", ts_col="ts", state_cols=["ts", "lsn", "role"]
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization at a 30-minute inactivity gap — native
+    merging-window session_window (same operator streaming reuses)."""
+    from endor_blockchain_data_pipeline_spark.operators.temporal import session_windows
+
+    return session_windows(
+        _t(spark, sf_dir, "events"), key="user_id", ts_col="ts", gap="30 minutes"
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_signatures(d, "text", "doc_id", k_shingle=12, n_hashes=4)
@@ -325,6 +363,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
     return brute_force_topk(e, qvec, k=10)
+
+
+# Deterministic IVF coarse-quantizer seeds: dataset rows with these ids act
+# as centroids (present at every SF; random-row init, no training step).
+IVF_SEED_IDS = [7, 69, 131, 193, 255, 317, 379, 441]
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid bucket assignment (K=8 dataset-row
+    centroids), probe the query's 2 nearest buckets, exact cosine top-k
+    within — the inverted-file read-pruning shape next to the SRP-bucket
+    variant (`srp_ann_topk`) and the exact baseline (`ann_topk`)."""
+    from endor_blockchain_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = ivf_centroids(e, IVF_SEED_IDS)
+    return ivf_topk(e, qvec, cents, k=10, n_probe=2)
 
 
 def q_na_drop_required(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "simhash_candidates": q_simhash_candidates,
         "srp_ann_topk": q_srp_ann_topk,
+        "asof_state_lookup": q_asof_state_lookup,
+        "session_windows": q_session_windows,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 
@@ -953,6 +1015,78 @@ def oracle_sql() -> dict[str, str]:
         # the Spark operators bit-for-bit (weights/votes identical).
         "simhash_candidates": _build_simhash_sql(band_bits=16),
         "srp_ann_topk": _build_srp_topk_sql(k=10, n_bits=8, dim=64, seed=42),
+        # DuckDB's native ASOF JOIN is the oracle for the union+window plan
+        "asof_state_lookup": """
+            WITH states AS (
+              SELECT user_id, ts,
+                     CAST(max(event_id) AS BIGINT) AS lsn,
+                     arg_max(event_type, event_id) AS role
+              FROM events WHERE event_id % 7 <> 0
+              GROUP BY user_id, ts),
+            probes AS (
+              SELECT user_id, event_id AS probe_lsn, ts
+              FROM events WHERE event_id % 7 = 0)
+            SELECT p.user_id, p.probe_lsn, p.ts,
+                   s.ts AS asof_ts, s.lsn AS asof_lsn, s.role AS asof_role
+            FROM probes p ASOF LEFT JOIN states s
+              ON p.user_id = s.user_id AND s.ts <= p.ts
+        """,
+        # gaps-and-islands replay of Spark's merging session_window: Spark
+        # merges touching windows (an event exactly gap after the previous
+        # one still joins the session — pinned in test_temporal), so a new
+        # session starts only when the gap is STRICTLY greater
+        "session_windows": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
+        "ivf_ann_topk": f"""
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id IN ({", ".join(map(str, IVF_SEED_IDS))})),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            probe AS (
+              SELECT cid FROM cents, q
+              ORDER BY list_dot_product(cv, qv) /
+                       (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                       cid
+              LIMIT 2),
+            assign AS (
+              SELECT vec_id, v, cid AS bucket FROM (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            scored AS (
+              SELECT a.vec_id,
+                     round(list_dot_product(a.v, q.qv) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM assign a, q
+              WHERE a.bucket IN (SELECT cid FROM probe))
+            SELECT vec_id, cos_sim, rank FROM (
+              SELECT vec_id, cos_sim,
+                     row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 10
+        """,
     }
 
 

@@ -81,6 +81,9 @@ HEADLINE = [
     "simhash_candidates",
     "srp_ann_topk",
     "dup_clusters",
+    "asof_state_lookup",
+    "session_windows",
+    "ivf_ann_topk",
 ]
 
 

@@ -159,6 +159,98 @@ def srp_topk(
     return _ranked_topk(scored, k, id_col)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    seed_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF "coarse quantizer": the dataset rows with the given
+    ids serve as centroids (random-row init without a k-means training step
+    — the standard cheap IVF bootstrap; ids fixed => reproducible in any
+    engine). Returns [(centroid_id, vector)] sorted by id; K rows collected
+    driver-side (K is small by construction)."""
+    rows = {
+        r[0]: [float(x) for x in r[1]]
+        for r in df.where(F.col(id_col).isin(list(seed_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    missing = [i for i in seed_ids if i not in rows]
+    if missing:
+        raise ValueError(f"centroid seed ids not in dataset: {missing}")
+    return [(i, rows[i]) for i in sorted(seed_ids)]
+
+
+def _cosine_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the SAME sequential fold order as
+    ``cosine_expr`` (and DuckDB's list_dot_product) — float64 bit-identical,
+    so driver-chosen probe buckets equal engine-chosen ones."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / ((na ** 0.5) * (nb ** 0.5))
+
+
+def ivf_assign_expr(
+    vec_col: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid bucket id (by cosine; ties -> smallest centroid id,
+    matching a ``row_number() ... ORDER BY cos DESC, cid`` oracle). The K
+    centroid vectors are literal arrays — K codegen'd fold expressions per
+    row, no model object, no UDF."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    coss = [
+        (cid, cosine_expr(v, F.array(*[F.lit(x) for x in cv])))
+        for cid, cv in centroids
+    ]
+    best = F.greatest(*[c for _, c in coss]) if len(coss) > 1 else coss[0][1]
+    out = F.lit(None).cast("long")
+    # built reversed so the smallest cid is checked first at evaluation
+    # time — ascending-cid tie-break, same as the oracle's row_number
+    for cid, c in reversed(coss):
+        out = F.when(c == best, F.lit(cid).cast("long")).otherwise(out)
+    return out
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors assigned to the query's ``n_probe``
+    nearest centroid buckets.
+
+    The classic inverted-file pruning shape: at scale the assignment is a
+    one-off materialized column (partition the table by bucket and the
+    probe filter becomes partition pruning — scan n_probe/K of the data);
+    here it is computed inline so the operator stays self-contained. Probe
+    buckets are chosen DRIVER-side from the collected centroids with a
+    bit-identical cosine — zero extra Spark jobs at query time. Recall < 1
+    by construction, tuned by n_probe/K; brute_force_topk is the exact
+    baseline."""
+    ranked = sorted(
+        ((-_cosine_py(query_vec, cv), cid) for cid, cv in centroids)
+    )[:n_probe]
+    probe_ids = [cid for _, cid in ranked]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = df.where(ivf_assign_expr(vec_col, centroids).isin(probe_ids))
+    scored = cands.select(
+        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim")
+    )
+    return _ranked_topk(scored, k, id_col)
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -184,9 +276,11 @@ def embedding_near_dup(
         meta = df.schema[vec_col].metadata or {}
         dim = int(meta["dim"]) if "dim" in meta else len(df.select(vec_col).first()[0])
     weights = srp_weights(n_bits, dim, seed)
+    # materialized before the self-join: a lazy plan would evaluate the
+    # n_bits fold expressions once per side (same rule as the LSH bands)
     sigs = df.select(
         F.col(id_col), F.col(vec_col), srp_signature_expr(vec_col, weights).alias("_sig")
-    )
+    ).localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = a.join(
         b,

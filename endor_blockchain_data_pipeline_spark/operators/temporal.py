@@ -1,0 +1,112 @@
+"""Temporal operators: as-of join and session windows.
+
+As-of join — "for each probe row, the latest state row at or before the
+probe's timestamp, per key" — is the temporal lookup every CDC consumer
+eventually needs (state of a conversation when a message arrived, price at
+trade time). Spark has no native ASOF JOIN; the naive rewrite
+(``p JOIN s ON key AND s.ts <= p.ts`` + ``max_by``) materializes every
+(probe x earlier-state) pair — quadratic per key. This implementation is
+the scale-safe union+window form:
+
+1. tag state rows 0 / probe rows 1 and union them;
+2. one shuffle+sort per key: window ordered by (ts, tag) — the tag
+   tie-break makes a state row at exactly the probe ts visible to it
+   (<= semantics, matching DuckDB/pandas ``merge_asof`` defaults);
+3. carry the last seen state forward with ``last(struct, ignorenulls)``
+   — the struct travels atomically, so columns from two different state
+   rows can never mix;
+4. keep probe rows, unpack the carried struct.
+
+Cost: ONE shuffle of (probes + states) on the key and a per-key sort —
+O((P+S) log) instead of O(P*S); no broadcast, no skew beyond what the key
+distribution already has (salt upstream if one key dominates).
+
+Session windows — splitting each key's event stream at inactivity gaps —
+use Spark's native ``session_window`` (merging-window aggregation, the
+same operator Structured Streaming uses with state; in batch it plans as
+a HashAggregate over merged windows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    probes: DataFrame,
+    states: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    state_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: each probe row gains ``prefix<col>`` columns from
+    the latest state row (per ``on`` key) with ``state.ts <= probe.ts``;
+    probes with no prior state keep nulls (left semantics).
+
+    ``state_cols`` defaults to every state column except the key; the
+    matched state timestamp is always included (``prefix<ts_col>``).
+    Probe column set is preserved as-is.
+    """
+    if state_cols is None:
+        state_cols = [c for c in states.columns if c != on]
+    elif ts_col not in state_cols:
+        state_cols = [ts_col, *state_cols]
+
+    probe_cols = probes.columns
+    s = states.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.struct(*[F.col(c) for c in state_cols]).alias("_state"),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"_p_{c}") for c in probe_cols if c != on],
+    )
+    p = probes.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(s.schema["_state"].dataType).alias("_state"),
+        *[F.col(c).alias(f"_p_{c}") for c in probe_cols if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        s.unionByName(p)
+        .withColumn("_asof", F.last("_state", ignorenulls=True).over(w))
+        .where(F.col("_tag") == 1)
+    )
+    return carried.select(
+        F.col(on),
+        *[F.col(f"_p_{c}").alias(c) for c in probe_cols if c != on],
+        *[F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in state_cols],
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-key session aggregation: events closer than ``gap`` chain into
+    one session. Returns (key, session_start, session_end, n_events) where
+    session_end = last event ts + gap (Spark ``session_window`` contract).
+
+    Native ``F.session_window`` — merging-window HashAggregate, the exact
+    operator the streaming path reuses with state + watermark; no window
+    function, no self-join, one shuffle on the key.
+    """
+    return (
+        events.groupBy(F.col(key), F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

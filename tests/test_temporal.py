@@ -1,0 +1,112 @@
+"""As-of join + session windows: semantics pinned against hand-computed
+expectations, plan shape pinned against the quadratic rewrite."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from endor_blockchain_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    session_windows,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_semantics(spark):
+    states = spark.createDataFrame(
+        [
+            (1, _ts(10), "a", 100),
+            (1, _ts(11), "b", 200),
+            (2, _ts(9), "x", 300),
+        ],
+        "k int, ts timestamp_ntz, v string, n int",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, _ts(9), 1),    # before any state -> nulls (left semantics)
+            (1, _ts(10, 30), 2),  # between a and b -> a
+            (1, _ts(11), 3),   # exactly at b -> b (<= semantics)
+            (1, _ts(23), 4),   # far after -> latest (b)
+            (2, _ts(10), 5),   # other key -> x, never k=1 state
+            (3, _ts(10), 6),   # key with no states at all -> nulls
+        ],
+        "k int, ts timestamp_ntz, probe_id int",
+    )
+    out = {
+        r["probe_id"]: (r["asof_v"], r["asof_n"], r["asof_ts"])
+        for r in asof_join(probes, states, on="k", ts_col="ts").collect()
+    }
+    assert out[1] == (None, None, None)
+    assert out[2] == ("a", 100, _ts(10))
+    assert out[3] == ("b", 200, _ts(11))
+    assert out[4] == ("b", 200, _ts(11))
+    assert out[5] == ("x", 300, _ts(9))
+    assert out[6] == (None, None, None)
+    # probe columns preserved
+    cols = asof_join(probes, states, on="k", ts_col="ts").columns
+    assert cols == ["k", "ts", "probe_id", "asof_ts", "asof_v", "asof_n"]
+
+
+def test_asof_join_state_struct_travels_atomically(spark):
+    """Columns of the matched state row always come from ONE state row —
+    the carried struct can't mix v from one row with n from another even
+    when some state columns are null."""
+    states = spark.createDataFrame(
+        [(1, _ts(10), None, 100), (1, _ts(11), "b", None)],
+        "k int, ts timestamp_ntz, v string, n int",
+    )
+    probes = spark.createDataFrame(
+        [(1, _ts(10, 30), 1), (1, _ts(12), 2)],
+        "k int, ts timestamp_ntz, probe_id int",
+    )
+    out = {
+        r["probe_id"]: (r["asof_v"], r["asof_n"])
+        for r in asof_join(probes, states, on="k", ts_col="ts").collect()
+    }
+    assert out[1] == (None, 100)  # the 10:00 row, nulls included
+    assert out[2] == ("b", None)  # the 11:00 row — NOT ("b", 100)
+
+
+def test_asof_join_plan_no_cartesian_blowup(spark):
+    """The plan is union+window: no nested-loop / range-join product of
+    probes x states, exactly one window over the union."""
+    states = spark.createDataFrame([(1, _ts(10), "a")], "k int, ts timestamp_ntz, v string")
+    probes = spark.createDataFrame([(1, _ts(11), 1)], "k int, ts timestamp_ntz, probe_id int")
+    plan = (
+        asof_join(probes, states, on="k", ts_col="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_session_windows_gap_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1: 10:00, 10:20, 10:49 chain (gaps < 30m); 11:19 is
+            # EXACTLY 30m after 10:49 — Spark merges touching windows, so
+            # it still joins the session; 11:50 (31m after 11:19) does not
+            (1, _ts(10, 0)),
+            (1, _ts(10, 20)),
+            (1, _ts(10, 49)),
+            (1, _ts(11, 19)),
+            (1, _ts(11, 50)),
+            # user 2: single event
+            (2, _ts(9, 0)),
+        ],
+        "user_id int, ts timestamp_ntz",
+    )
+    out = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_windows(ev, key="user_id", ts_col="ts", gap="30 minutes").collect()
+    )
+    assert out == [
+        (1, _ts(10, 0), _ts(11, 49), 4),
+        (1, _ts(11, 50), _ts(12, 20), 1),
+        (2, _ts(9, 0), _ts(9, 30), 1),
+    ]

@@ -263,6 +263,14 @@ if __name__ == "__main__":
     )
     ap.add_argument("--compact-threshold", type=int, default=8)
     ap.add_argument(
+        "--dedup",
+        default=None,
+        metavar="DOCS_PARQUET:OUT_DIR",
+        help="corpus near-dedup mode: MinHash-LSH candidate pairs -> "
+        "connected components -> per-doc keep/drop verdict parquet at "
+        "OUT_DIR (doc_id, cluster_id, keep); prints the keep ratio",
+    )
+    ap.add_argument(
         "--feed",
         default=None,
         metavar="KIND:PATH",
@@ -275,6 +283,29 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     spark = get_spark("endor-cdc-job")
+    if args.dedup:
+        from endor_blockchain_data_pipeline_spark.operators.dedup import (
+            dedup_resolution,
+            minhash_candidates,
+        )
+
+        src, _, out = args.dedup.partition(":")
+        if not out:
+            raise SystemExit("--dedup needs DOCS_PARQUET:OUT_DIR")
+        docs = spark.read.parquet(src)
+        t0 = time.time()
+        pairs = minhash_candidates(docs, "text", "doc_id", max_bucket_size=64)
+        verdict = dedup_resolution(docs, pairs)
+        verdict.write.mode("overwrite").parquet(out)
+        vr = spark.read.parquet(out)
+        n = vr.count()
+        kept = vr.where("keep").count()
+        print(
+            f"dedup: {n} docs -> {kept} kept "
+            f"({100 * kept / max(n, 1):.1f}%) in {time.time() - t0:.1f}s, "
+            f"verdict at {out}"
+        )
+        raise SystemExit(0)
     table = ManifestTable(args.table, n_buckets=args.buckets)
     if args.feed:
         from endor_blockchain_data_pipeline_spark.sources.feeds import (

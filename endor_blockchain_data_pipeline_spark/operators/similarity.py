@@ -14,8 +14,13 @@
   Queries only score vectors sharing a signature bucket; at 100 TB the
   bucket join replaces the full scan and recall is tuned by n_tables ×
   n_bits.
-- IVF-style variant: coarse k-means is overkill without a training step;
-  SRP buckets give the same read-pruning shape deterministically.
+- IVF ANN: inverted-file pruning with a deterministic coarse quantizer —
+  K dataset rows (fixed ids) act as centroids, every vector is assigned to
+  its nearest centroid's bucket (K literal-array cosine folds, argmax with
+  ascending-id tie-break), queries probe only their n_probe nearest
+  buckets. No k-means training step, fully reproducible in the DuckDB
+  oracle; at scale the assignment becomes a materialized partition column
+  and the probe filter becomes partition pruning.
 """
 
 from __future__ import annotations
@@ -24,6 +29,8 @@ import hashlib
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+from endor_blockchain_data_pipeline_spark.plans.partitioning import parallelize_for_fanout
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -70,8 +77,8 @@ def brute_force_topk(
     Single map stage computes cosine; top-k via TakeOrderedAndProject with
     (-cos, id) ordering — ties broken by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
+    q = F.lit([float(x) for x in query_vec])
+    scored = parallelize_for_fanout(df).select(
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim"),
     )
@@ -119,7 +126,7 @@ def srp_signature_expr(
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     total = F.lit(0).cast("long")
     for b, w in enumerate(weights):
-        warr = F.array(*[F.lit(x) for x in w])
+        warr = F.lit(list(w))
         proj = F.aggregate(
             F.zip_with(v, warr, lambda x, wd: x.cast("double") * wd),
             F.lit(0.0),
@@ -151,8 +158,10 @@ def srp_topk(
     weights = srp_weights(n_bits, len(query_vec), seed)
     qsig = srp_signature_py(query_vec, weights)
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cands = df.where(srp_signature_expr(vec_col, weights) == F.lit(qsig))
+    q = F.lit([float(x) for x in query_vec])
+    cands = parallelize_for_fanout(df).where(
+        srp_signature_expr(vec_col, weights) == F.lit(qsig)
+    )
     scored = cands.select(
         F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim")
     )
@@ -198,25 +207,38 @@ def _cosine_py(a: list[float], b: list[float]) -> float:
     return dot / ((na ** 0.5) * (nb ** 0.5))
 
 
+def _norm_py(v: list[float]) -> float:
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return acc ** 0.5
+
+
 def ivf_assign_expr(
     vec_col: Column | str, centroids: list[tuple[int, list[float]]]
 ) -> Column:
     """Nearest-centroid bucket id (by cosine; ties -> smallest centroid id,
-    matching a ``row_number() ... ORDER BY cos DESC, cid`` oracle). The K
-    centroid vectors are literal arrays — K codegen'd fold expressions per
-    row, no model object, no UDF."""
+    matching a ``row_number() ... ORDER BY cos DESC, cid`` oracle).
+
+    Built lean on purpose — the naive form (K ``cosine_expr``s duplicated
+    through a greatest + CASE chain) tripled every fold and cost seconds of
+    driver-side plan construction from per-element ``lit`` py4j calls:
+    - centroid vectors are single list literals (one call each);
+    - centroid norms are Python-precomputed literals (same sequential fold
+      as the engines — bit-identical float64), removing K constant norm
+      folds per row;
+    - argmax = ``array_position(cos_array, array_max(cos_array))`` — each
+      cosine is evaluated once into one array; first-max position gives the
+      ascending-cid tie-break for free (centroids arrive sorted)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    nv = norm_expr(v)
     coss = [
-        (cid, cosine_expr(v, F.array(*[F.lit(x) for x in cv])))
-        for cid, cv in centroids
+        dot_expr(v, F.lit(cv)) / (nv * F.lit(_norm_py(cv))) for _, cv in centroids
     ]
-    best = F.greatest(*[c for _, c in coss]) if len(coss) > 1 else coss[0][1]
-    out = F.lit(None).cast("long")
-    # built reversed so the smallest cid is checked first at evaluation
-    # time — ascending-cid tie-break, same as the oracle's row_number
-    for cid, c in reversed(coss):
-        out = F.when(c == best, F.lit(cid).cast("long")).otherwise(out)
-    return out
+    carr = F.array(*coss)
+    pos = F.array_position(carr, F.array_max(carr)).cast("int")
+    cid_arr = F.array(*[F.lit(cid).cast("long") for cid, _ in centroids])
+    return F.element_at(cid_arr, pos)
 
 
 def ivf_topk(
@@ -243,8 +265,12 @@ def ivf_topk(
         ((-_cosine_py(query_vec, cv), cid) for cid, cv in centroids)
     )[:n_probe]
     probe_ids = [cid for _, cid in ranked]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cands = df.where(ivf_assign_expr(vec_col, centroids).isin(probe_ids))
+    q = F.lit([float(x) for x in query_vec])
+    # K cosine folds per row are compute-dense; a byte-sized scan would
+    # otherwise run them on one core (no-op when the scan is already wide)
+    cands = parallelize_for_fanout(df).where(
+        ivf_assign_expr(vec_col, centroids).isin(probe_ids)
+    )
     scored = cands.select(
         F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim")
     )
@@ -278,7 +304,7 @@ def embedding_near_dup(
     weights = srp_weights(n_bits, dim, seed)
     # materialized before the self-join: a lazy plan would evaluate the
     # n_bits fold expressions once per side (same rule as the LSH bands)
-    sigs = df.select(
+    sigs = parallelize_for_fanout(df).select(
         F.col(id_col), F.col(vec_col), srp_signature_expr(vec_col, weights).alias("_sig")
     ).localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")

@@ -173,6 +173,34 @@ def windowed_activity(
     )
 
 
+def streaming_sessions(
+    stream: DataFrame, gap: str = "30 minutes", watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming per-conversation sessionization — the same merging
+    ``session_window`` aggregate as the batch operator
+    (``operators/temporal.session_windows``), under a watermark.
+
+    The watermark is what makes unbounded sessionization feasible: a
+    session's state can only grow while new events may still extend it;
+    once the watermark passes session_end + gap the window finalizes and
+    its state drops, so memory stays proportional to OPEN sessions, not
+    history. Batch/stream parity is pinned in tests (same operator, same
+    half-open merge semantics).
+    """
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.col("conv_id"), F.session_window(F.col("ts"), gap))
+        .agg(F.count("*").alias("n_changes"), F.max("lsn").alias("max_lsn"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_changes",
+            "max_lsn",
+        )
+    )
+
+
 # Custom stateful operator: running per-conversation ingest state via
 # applyInPandasWithState (the arbitrary-stateful-processing API) — what you
 # reach for when windows/aggs can't express the state machine (here: a

@@ -87,6 +87,56 @@ def test_windowed_activity_with_watermark(spark, tmp_path):
     assert_df_equal(got, expect)
 
 
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    """Streaming session_window (with watermark) over the WAL drops equals
+    the batch session_windows operator on the same data — one merging-window
+    operator, two execution modes."""
+    from endor_blockchain_data_pipeline_spark.operators.temporal import session_windows
+    from endor_blockchain_data_pipeline_spark.streaming.stream import (
+        read_wal_stream,
+        streaming_sessions,
+    )
+
+    n = 1500
+    wal = generate_wal(spark, n, n_convs=8, max_turns=6, seed=7)
+    wal_dir = str(tmp_path / "drops")
+    write_wal_batches(wal, wal_dir, batch_size=500, n_events=n)
+
+    stream = read_wal_stream(spark, wal_dir, max_files_per_trigger=1)
+    q = (
+        streaming_sessions(stream, "30 minutes", "2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions")
+
+    expect = (
+        session_windows(wal, key="conv_id", ts_col="ts", gap="30 minutes")
+        .withColumnRenamed("n_events", "n_changes")
+    )
+    # batch operator lacks max_lsn; recompute it the same way for parity
+    expect_full = (
+        wal.groupBy(F.col("conv_id"), F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_changes"), F.max("lsn").alias("max_lsn"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_changes",
+            "max_lsn",
+        )
+    )
+    assert_df_equal(got, expect_full)
+    assert_df_equal(
+        got.drop("max_lsn"),
+        expect.select("conv_id", "session_start", "session_end", "n_changes"),
+    )
+
+
 def test_running_conv_state_stateful(spark, tmp_path):
     """applyInPandasWithState: per-conv state persists ACROSS micro-batches
     (counts accumulate, lsn watermark is monotone) and the final state

@@ -458,23 +458,25 @@ def simhash_bands(
         F.col(id_col), F.explode(F.split(c, r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
     h = F.md5(F.col("tok"))
-    # nib{i} = integer value of hex char i of md5(token): 16 nibbles = 64 bits.
-    nibs = toks.select(
+    # Two 32-bit halves of the md5 prefix instead of 16 per-nibble string
+    # convs: bit b lives at shift 4*(7 - b//4 % 8) + b%4 of its half (hex
+    # char 0 is the most significant nibble of the parsed value). Same
+    # votes as the per-nibble recipe — the DuckDB oracle (strpos-based
+    # nibble extraction) is unchanged and still hash-matches.
+    halves = toks.select(
         id_col,
-        *[
-            F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"nib{i}")
-            for i in range(16)
-        ],
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
     )
-    votes = nibs.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col(f"nib{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) > 0, 1
-                ).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
+
+    def vote(b: int):
+        half = F.col("h1") if b < 32 else F.col("h2")
+        shift = 4 * (7 - (b // 4) % 8) + (b % 4)
+        bit = F.shiftright(half, shift).bitwiseAND(F.lit(1))
+        return (bit * 2 - 1).cast("int")  # branch-free ±1
+
+    votes = halves.groupBy(id_col).agg(
+        *[F.sum(vote(b)).alias(f"v{b}") for b in range(64)]
     )
     n_bands = 64 // band_bits
     band_vals = []

@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for EVERY query (40/40 — hash-reproducible recipes
+DuckDB-equivalent SQL for EVERY query (43/43 — hash-reproducible recipes
 only: md5-derived randomness, decimal-exact sums, no HUGEINT/DECIMAL/array
 output types). Column names/aliases match exactly between both sides.
 
@@ -314,6 +314,53 @@ def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup_exact(d, "text", "doc_id")
+
+
+# ----------------------------------------------------- analytics / OLAP ops
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type (explicit
+    pivot domain — no discovery scan; absent combos surface as 0)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def q_rollup_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (day, event_type) with grouping_id disambiguating subtotal
+    NULLs — counts and decimal-exact sums at every rollup level."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value"
+    )
+    return ev.rollup("day", "event_type").agg(
+        F.count("*").alias("n"),
+        _dec_sum("value", 2, "sum_val"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered window analytics: running decimal-exact sum, lag,
+    and row_number over the unique event_id order."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_val"),
+        F.lag("value").over(w).alias("prev_val"),
+        F.row_number().over(w).alias("rn"),
+    )
 
 
 # ------------------------------------------------------------ temporal ops
@@ -735,6 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_state_lookup": q_asof_state_lookup,
         "session_windows": q_session_windows,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pivot_event_counts": q_pivot_event_counts,
+        "rollup_daily_counts": q_rollup_daily_counts,
+        "running_totals": q_running_totals,
     }
 
 
@@ -1086,6 +1136,31 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
               FROM scored)
             WHERE rank <= 10
+        """,
+        "pivot_event_counts": f"""
+            SELECT user_id,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+                       for t in EVENT_TYPES
+                   )}
+            FROM events GROUP BY user_id
+        """,
+        "rollup_daily_counts": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+                   CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid
+            FROM events
+            GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+        """,
+        "running_totals": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                        PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_val,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_val,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rn
+            FROM events
         """,
     }
 

@@ -127,6 +127,12 @@ def run_queries() -> dict[str, float]:
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     out["minhash_signatures_xxhash64"] = round(best, 3)
+    # ANN quality next to ANN latency: recall@10 of the two approximate
+    # paths against the exact brute-force ranking (same query vector).
+    exact = {r["vec_id"] for r in qs["ann_topk"](spark, SF_DIR).collect()}
+    for ann in ("srp_ann_topk", "ivf_ann_topk"):
+        approx = {r["vec_id"] for r in qs[ann](spark, SF_DIR).collect()}
+        out[f"{ann}_recall_at_10"] = round(len(exact & approx) / max(len(exact), 1), 2)
     stop_spark()
     return out
 
@@ -304,7 +310,10 @@ def main() -> None:
             "replay_equal": all(fps_fx[c] == fps_fx[levels[0]] for c in levels),
         }
 
-    total = round(sum(queries.values()), 3)
+    # recall rows are fractions, not seconds — keep them out of the total
+    total = round(
+        sum(v for k, v in queries.items() if not k.endswith("_recall_at_10")), 3
+    )
     result = {
         "metric": "headline-query seconds at sf + CDC merge-apply events/sec across a parallelism curve",
         "value": total,
@@ -424,7 +433,10 @@ commit), which the scaling curve above evidences.
             "the scale plan. `minhash_signatures_xxhash64` is the same "
             "signature contract on engine-native seeded 64-bit hashes (no "
             "hex round-trip at all) — the residual gap between the two is "
-            "the md5+conv cost.\n"
+            "the md5+conv cost. `*_recall_at_10` rows are fractions (ANN "
+            "top-10 overlap with the exact brute-force top-10), not "
+            "seconds — approximate-path quality reported next to its "
+            "latency.\n"
         )
 
 

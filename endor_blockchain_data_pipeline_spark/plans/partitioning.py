@@ -28,6 +28,8 @@ def parallelize_for_fanout(df: DataFrame, min_partitions: int | None = None) -> 
     core count in local mode, cluster cores otherwise). ``df.rdd`` compiles
     the plan to inspect its partitioning but launches no job.
     """
+    if df.isStreaming:  # .rdd is illegal on streaming plans; micro-batch
+        return df       # sizing is the trigger's job, not a repartition's
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

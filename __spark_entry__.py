@@ -600,9 +600,11 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP ANN: 2 independent 6-bit hash tables OR-ed together
+    — the LSH recall amplifier (bench reports measured recall@10)."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
-    return srp_topk(e, qvec, k=10, n_bits=8)
+    return srp_topk(e, qvec, k=10, n_bits=6, n_tables=2)
 
 
 def _build_simhash_sql(band_bits: int = 16) -> str:
@@ -666,19 +668,26 @@ def _srp_sig_terms(n_bits: int, dim: int, seed: int) -> str:
     )
 
 
-def _build_srp_topk_sql(k: int = 10, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """DuckDB mirror of operators/similarity.py::srp_topk."""
-    sig_terms = _srp_sig_terms(n_bits, dim, seed)
+def _build_srp_topk_sql(
+    k: int = 10, n_bits: int = 8, dim: int = 64, seed: int = 42, n_tables: int = 1
+) -> str:
+    """DuckDB mirror of operators/similarity.py::srp_topk (multi-table:
+    per-table signatures from seeds seed+t, bucket matches OR-ed)."""
+    sig_cols = ", ".join(
+        f"{_srp_sig_terms(n_bits, dim, seed + t)} AS sig{t}" for t in range(n_tables)
+    )
+    match = " OR ".join(f"s.sig{t} = q.qsig{t}" for t in range(n_tables))
+    qsigs = ", ".join(f"sig{t} AS qsig{t}" for t in range(n_tables))
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sig AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
-        q AS (SELECT v AS qv, sig AS qsig FROM sig WHERE vec_id = 0),
+        sig AS (SELECT vec_id, v, {sig_cols} FROM e),
+        q AS (SELECT v AS qv, {qsigs} FROM sig WHERE vec_id = 0),
         cand AS (
           SELECT s.vec_id,
                  round(list_dot_product(s.v, q.qv) /
                        (sqrt(list_dot_product(s.v, s.v)) *
                         sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
-          FROM sig s, q WHERE s.sig = q.qsig)
+          FROM sig s, q WHERE {match})
         SELECT vec_id, cos_sim, rank FROM (
           SELECT vec_id, cos_sim,
                  row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
@@ -1064,7 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash / SRP: md5-portable hash recipes, SQL generated to mirror
         # the Spark operators bit-for-bit (weights/votes identical).
         "simhash_candidates": _build_simhash_sql(band_bits=16),
-        "srp_ann_topk": _build_srp_topk_sql(k=10, n_bits=8, dim=64, seed=42),
+        "srp_ann_topk": _build_srp_topk_sql(k=10, n_bits=6, dim=64, seed=42, n_tables=2),
         # DuckDB's native ASOF JOIN is the oracle for the union+window plan
         "asof_state_lookup": """
             WITH states AS (

@@ -284,6 +284,48 @@ def ivf_topk(
     return _ranked_topk(scored, k, id_col)
 
 
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF inverted file: the table partitioned on the
+    assigned bucket (``bucket=<cid>/`` directories). The one-off assignment
+    pass is what turns query-time bucket filtering into PARTITION PRUNING —
+    a probe reads n_probe/K of the files and never touches the rest (the
+    claim ``ivf_topk`` makes inline; here it is the physical layout,
+    asserted on the plan's PartitionFilters in tests)."""
+    df.withColumn("bucket", ivf_assign_expr(vec_col, centroids)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k over a materialized index: the bucket filter prunes whole
+    partitions at planning time (no assignment recompute, no full scan)."""
+    ranked = sorted(
+        ((-_cosine_py(query_vec, cv), cid) for cid, cv in centroids)
+    )[:n_probe]
+    probe_ids = [cid for _, cid in ranked]
+    q = F.lit([float(x) for x in query_vec])
+    cands = spark.read.parquet(path).where(F.col("bucket").isin(probe_ids))
+    scored = cands.select(
+        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim")
+    )
+    return _ranked_topk(scored, k, id_col)
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

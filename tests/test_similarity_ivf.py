@@ -68,6 +68,33 @@ def test_ivf_topk_matches_brute_force_within_probed_buckets(spark, emb):
     assert len(narrow) == 5
 
 
+def test_ivf_indexed_partition_pruning(spark, emb, tmp_path):
+    """The materialized inverted file turns the probe filter into partition
+    pruning: the pruned read returns exactly what the inline operator
+    computes, and the scan's PartitionFilters carry the bucket predicate."""
+    from endor_blockchain_data_pipeline_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    cents = ivf_centroids(emb, [0, 1, 2])
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, cents)
+
+    q = [1.0, 0.05, 0.0, 0.0]
+    inline = {
+        (r["vec_id"], r["cos_sim"], r["rank"])
+        for r in ivf_topk(emb, q, cents, k=5, n_probe=2).collect()
+    }
+    indexed_df = ivf_topk_indexed(spark, path, q, cents, k=5, n_probe=2)
+    indexed = {
+        (r["vec_id"], r["cos_sim"], r["rank"]) for r in indexed_df.collect()
+    }
+    assert indexed == inline
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters:")[1][:120]
+
+
 def test_ivf_plan_no_udf(spark, emb):
     cents = ivf_centroids(emb, [0, 1, 2])
     plan = (

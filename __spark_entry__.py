@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for EVERY query (43/43 — hash-reproducible recipes
+DuckDB-equivalent SQL for EVERY query (45/45 — hash-reproducible recipes
 only: md5-derived randomness, decimal-exact sums, no HUGEINT/DECIMAL/array
 output types). Column names/aliases match exactly between both sides.
 
@@ -360,6 +360,39 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_val"),
         F.lag("value").over(w).alias("prev_val"),
         F.row_number().over(w).alias("rn"),
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash — reproducible on
+    any engine / cluster size / file layout (seeded sample() is none of
+    those). 90/5/5 over documents, with per-split counts."""
+    from endor_blockchain_data_pipeline_spark.functions.text import hash_split_expr
+
+    d = _t(spark, sf_dir, "documents")
+    split = hash_split_expr("doc_id", {"train": 90, "val": 5, "test": 5})
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA profile in one pass: per-language doc counts, text-length
+    stats (exact), empty/short-doc counts — the health check a curation
+    pipeline runs before and after every transform."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+        F.sum(F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)).alias(
+            "n_empty"
+        ),
+        F.sum(F.when(F.length("text") < 50, 1).otherwise(0)).alias("n_short"),
+        F.count_distinct("doc_id").alias("n_distinct_ids"),
     )
 
 
@@ -794,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "rollup_daily_counts": q_rollup_daily_counts,
         "running_totals": q_running_totals,
+        "hash_split": q_hash_split,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -1170,6 +1205,29 @@ def oracle_sql() -> dict[str, str]:
                    lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_val,
                    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rn
             FROM events
+        """,
+        "hash_split": """
+            WITH assigned AS (
+              SELECT doc_id,
+                     CASE WHEN b < 90 THEN 'train'
+                          WHEN b < 95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                    FROM documents))
+            SELECT split, count(*) AS n_docs, min(doc_id) AS min_id
+            FROM assigned GROUP BY split
+        """,
+        "corpus_profile": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+                   CAST(MIN(len(text)) AS INTEGER) AS min_len,
+                   CAST(MAX(len(text)) AS INTEGER) AS max_len,
+                   CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                   CAST(SUM(CASE WHEN len(text) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                   count(DISTINCT doc_id) AS n_distinct_ids
+            FROM documents GROUP BY lang
         """,
     }
 

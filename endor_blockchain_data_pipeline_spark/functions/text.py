@@ -92,6 +92,37 @@ def lang_guess_expr(col: Column | str) -> Column:
     return guess
 
 
+def hash_split_expr(
+    id_col: Column | str,
+    weights: dict[str, int],
+    salt: str = "split",
+) -> Column:
+    """Deterministic dataset split assignment — the reproducible train/val
+    holdout every training-data pipeline needs. Seeded ``sample()`` is
+    partition-layout-dependent and irreproducible across engines; this is
+    pure content hashing: bucket = md5(salt:id) mod 100, ranges assigned in
+    the given order. Weights are integer percents summing to 100. The same
+    id lands in the same split on ANY engine, cluster size, or file layout
+    (the DuckDB oracle reproduces it verbatim).
+    """
+    total = sum(weights.values())
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    out = None
+    lo = 0
+    for name, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+        lo += w
+    return out
+
+
 def fingerprint_expr(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (portable across
     engines — used as the exact-dedup key)."""

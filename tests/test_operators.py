@@ -127,6 +127,29 @@ def test_dup_clusters_max_iters_bound(spark):
     assert set(full.values()) == {1}
 
 
+def test_hash_split_deterministic_partition(spark):
+    """Content-hash splits: every id gets exactly one split, assignment is
+    identical across runs/layouts, weights must sum to 100."""
+    import pytest as _pytest
+
+    from endor_blockchain_data_pipeline_spark.functions.text import hash_split_expr
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    split = hash_split_expr("doc_id", {"train": 90, "val": 5, "test": 5})
+    a = {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+    # repartitioned layout -> identical assignment (sample() would differ)
+    b = {
+        r["doc_id"]: r["s"]
+        for r in df.repartition(7).select("doc_id", split.alias("s")).collect()
+    }
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 850 < n_train < 950  # ~90% of 1000
+    with _pytest.raises(ValueError, match="sum to 100"):
+        hash_split_expr("doc_id", {"train": 80, "val": 10})
+
+
 def test_ngram_jaccard_scores(spark, docs):
     pairs = spark.createDataFrame([(0, 1), (0, 3), (0, 5)], "id_a long, id_b long")
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs, k_shingle=8).collect()}

@@ -48,6 +48,11 @@ def asof_join(
     ``state_cols`` defaults to every state column except the key; the
     matched state timestamp is always included (``prefix<ts_col>``).
     Probe column set is preserved as-is.
+
+    States should be unique per (key, ts) — with duplicates the winner
+    among equal timestamps is sort-order-dependent (dedupe upstream with
+    ``max_by``, as the driver query does); probe duplicates are fine, each
+    probe row is answered independently.
     """
     if state_cols is None:
         state_cols = [c for c in states.columns if c != on]

@@ -270,3 +270,62 @@ def test_dup_clusters_matches_union_find(spark, raw_pairs):
         for r in dup_clusters(pairs, driver_pair_limit=0).collect()
     }
     assert got == expected
+
+
+# -------- as-of join vs a pure-Python per-probe scan oracle --------
+
+asof_st = st.tuples(
+    st.lists(  # states: (key, ts_offset_minutes, val)
+        st.tuples(st.integers(0, 3), st.integers(0, 120), st.integers(0, 999)),
+        max_size=25,
+    ),
+    st.lists(  # probes: (key, ts_offset_minutes)
+        st.tuples(st.integers(0, 3), st.integers(0, 120)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(asof_st)
+def test_asof_join_matches_scan_oracle(spark, data):
+    """union+window as-of == the obvious per-probe scan: for every probe,
+    the unique state row with the greatest ts <= probe ts for its key."""
+    from endor_blockchain_data_pipeline_spark.operators.temporal import asof_join
+
+    raw_states, raw_probes = data
+    base = dt.datetime(2024, 1, 1)
+    # dedupe states per (key, ts): the operator's documented contract
+    sdict = {}
+    for k, off, v in raw_states:
+        sdict[(k, off)] = v
+    states_rows = [
+        (k, base + dt.timedelta(minutes=off), v) for (k, off), v in sdict.items()
+    ]
+    probes_rows = [
+        (k, base + dt.timedelta(minutes=off), i)
+        for i, (k, off) in enumerate(raw_probes)
+    ]
+
+    def oracle(k, ts):
+        best = None
+        for sk, sts, sv in states_rows:
+            if sk == k and sts <= ts and (best is None or sts > best[0]):
+                best = (sts, sv)
+        return best  # None or (ts, val)
+
+    states = spark.createDataFrame(
+        states_rows or [(99, base, 0)], "k int, ts timestamp_ntz, v int"
+    )
+    if not states_rows:
+        states = states.where("k < 0")  # empty with schema
+    probes = spark.createDataFrame(probes_rows, "k int, ts timestamp_ntz, pid int")
+    got = {
+        r["pid"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(probes, states, on="k", ts_col="ts").collect()
+    }
+    assert len(got) == len(probes_rows)
+    for k, ts, pid in probes_rows:
+        exp = oracle(k, ts)
+        assert got[pid] == ((exp[0], exp[1]) if exp else (None, None)), (k, ts)

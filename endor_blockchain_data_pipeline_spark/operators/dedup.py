@@ -30,7 +30,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from endor_blockchain_data_pipeline_spark.functions.text import char_shingles, fingerprint_expr
-from endor_blockchain_data_pipeline_spark.plans.partitioning import parallelize_for_fanout
+from endor_blockchain_data_pipeline_spark.plans.partitioning import (
+    materialize,
+    parallelize_for_fanout,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -176,18 +179,20 @@ def minhash_candidates(
     ``hash_fn="xxhash64"`` selects the engine-native fast signatures.
 
     The bands table (n_bands rows per doc — tiny next to the shingle
-    fan-out that builds it) is materialized via ``localCheckpoint`` before
-    the self-join: a lazy self-join would evaluate the whole scan + shingle
-    explode + min-agg subtree once PER SIDE (Catalyst plans self-joins as
-    two independent subtrees; no exchange reuse fires here — measured ~2x).
-    On a real cluster ``checkpoint()`` to a reliable dir has the same call
-    shape with executor-loss resilience.
+    fan-out that builds it) is materialized before the self-join: a lazy
+    self-join would evaluate the whole scan + shingle explode + min-agg
+    subtree once PER SIDE (Catalyst plans self-joins as two independent
+    subtrees; no exchange reuse fires here — measured ~2x).
+    ``plans.partitioning.materialize`` picks localCheckpoint, or a reliable
+    ``checkpoint()`` when the session has a checkpoint dir (real cluster).
     """
-    bands = lsh_bands(
-        minhash_signatures(df, text_col, id_col, k_shingle, n_hashes, hash_fn),
-        id_col,
-        n_bands,
-    ).localCheckpoint(eager=True)
+    bands = materialize(
+        lsh_bands(
+            minhash_signatures(df, text_col, id_col, k_shingle, n_hashes, hash_fn),
+            id_col,
+            n_bands,
+        )
+    )
     bands = cap_bucket_size(bands, ["band_idx", "band_key"], max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -218,20 +223,19 @@ def ngram_jaccard(
 
     Scale shape: only docs that appear in a pair are shingled at all (semi
     join first — the pair set is bounded by the LSH bucket caps, the corpus
-    is not), and the distinct shingle set is materialized once
-    (``localCheckpoint``) instead of re-evaluating the explode subtree for
-    each of its three readers (sizes, side a, side b).
+    is not), and the distinct shingle set is materialized once instead of
+    re-evaluating the explode subtree for each of its three readers
+    (sizes, side a, side b).
     """
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = (
+    sh = materialize(
         parallelize_for_fanout(df.join(ids, id_col, "leftsemi"))
         .select(F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
@@ -319,10 +323,9 @@ def dup_clusters(
       DataFrame — no GraphFrames dependency, no driver-side graph:
 
     - every iteration is one shuffle join (edges x labels) + one min-agg,
-      both partition-parallel; labels are ``localCheckpoint``-ed per
-      iteration so the plan stays O(1) deep instead of O(iters)
-      (on a real cluster with an HDFS checkpoint dir you would use
-      ``checkpoint()`` for executor-loss resilience — same call shape);
+      both partition-parallel; labels are materialized per iteration so
+      the plan stays O(1) deep instead of O(iters) (localCheckpoint, or
+      reliable ``checkpoint()`` when the session sets a checkpoint dir);
     - iterations needed = the cluster graph's diameter, which for near-dup
       clusters (dense blobs of mutual similarity) is small; ``max_iters``
       bounds the worst case and the convergence log line reports the actual
@@ -392,8 +395,8 @@ def dup_clusters(
                 .alias("_chg"),
             )
             .observe(obs, F.sum("_chg").alias("n_changed"))
-            .localCheckpoint(eager=True)
         )
+        upd = materialize(upd)
         changed = int(obs.get["n_changed"] or 0)
         labels = upd.select("node", "cluster_id")
         if changed == 0:
@@ -506,7 +509,7 @@ def dedup_simhash(
     is materialized before the self-join (same rationale as
     ``minhash_candidates``: two lazy subtrees otherwise).
     """
-    bands = simhash_bands(df, text_col, id_col, band_bits).localCheckpoint(eager=True)
+    bands = materialize(simhash_bands(df, text_col, id_col, band_bits))
     bands = cap_bucket_size(bands, ["band_idx", "band_val"], max_bucket_size)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (

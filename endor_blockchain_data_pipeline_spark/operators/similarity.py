@@ -30,7 +30,10 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from endor_blockchain_data_pipeline_spark.plans.partitioning import parallelize_for_fanout
+from endor_blockchain_data_pipeline_spark.plans.partitioning import (
+    materialize,
+    parallelize_for_fanout,
+)
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -353,9 +356,11 @@ def embedding_near_dup(
     weights = srp_weights(n_bits, dim, seed)
     # materialized before the self-join: a lazy plan would evaluate the
     # n_bits fold expressions once per side (same rule as the LSH bands)
-    sigs = parallelize_for_fanout(df).select(
-        F.col(id_col), F.col(vec_col), srp_signature_expr(vec_col, weights).alias("_sig")
-    ).localCheckpoint(eager=True)
+    sigs = materialize(
+        parallelize_for_fanout(df).select(
+            F.col(id_col), F.col(vec_col), srp_signature_expr(vec_col, weights).alias("_sig")
+        )
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = a.join(
         b,

@@ -20,6 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut the lineage and pin the result for plans that read it more than
+    once (self-joins over derived tables, iterative loops).
+
+    Default: ``localCheckpoint`` — executor-local memory+disk blocks, the
+    fastest option, but blocks die with their executor. If the session has
+    a reliable checkpoint directory configured
+    (``sc.setCheckpointDir(hdfs_path)`` on a real cluster), this switches
+    to ``checkpoint()`` automatically: same call shape, executor-loss
+    resilient. Operators call this instead of hardcoding either mode, so
+    one deployment setting flips the whole engine.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def parallelize_for_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a compact input ahead of a row-multiplying
     explode, if (and only if) the planned scan is narrower than the target.

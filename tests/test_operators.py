@@ -418,3 +418,39 @@ def test_dim_cache_round_trip_converges(spark, tmp_path):
     out3, n3 = enrich_with_cached_dim(fact2, cache, "token", resolver)
     assert n3 == 1 and calls[2] == ["t7", "tZ"]
     assert out3.where(F.col("token") == "t7").first()["name"] == "token-t7"
+
+
+def test_materialize_switches_to_reliable_checkpoint(spark, tmp_path):
+    """materialize(): localCheckpoint by default; with a session checkpoint
+    dir configured it becomes a reliable checkpoint() (executor-loss-safe)
+    — one deployment setting flips every multi-reader materialization.
+    The reliable branch runs in its own JVM so the shared test session
+    keeps its default (no checkpoint dir) state."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from endor_blockchain_data_pipeline_spark.plans.partitioning import materialize
+
+    local = materialize(spark.range(0, 100).withColumn("x", F.col("id") * 2))
+    assert local.count() == 100
+    assert spark.sparkContext.getCheckpointDir() is None
+
+    script = textwrap.dedent(f"""
+        import os
+        from endor_blockchain_data_pipeline_spark.session import get_spark
+        from endor_blockchain_data_pipeline_spark.plans.partitioning import materialize
+        spark = get_spark("ckpt-test", master="local[2]")
+        spark.sparkContext.setCheckpointDir({str(tmp_path / "ckpt")!r})
+        df = materialize(spark.range(0, 100))
+        assert df.count() == 100
+        # evidence of the RELIABLE branch: rdd checkpoint files on disk
+        files = [e for d in os.scandir({str(tmp_path / "ckpt")!r})
+                 for e in os.scandir(d.path)]
+        assert files, "no reliable-checkpoint files written"
+        print("RELIABLE_OK")
+    """)
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "RELIABLE_OK" in r.stdout, r.stderr[-2000:]

@@ -260,3 +260,63 @@ def test_declared_schema_read_coerces_ts_to_date(spark, wal, tmp_path):
 
     with _pytest.raises(ValueError, match="cannot coerce"):
         coerce_to_declared(job.table.read(spark), bad)
+
+
+def test_staged_but_uncommitted_batch_invisible_and_replay_safe(spark, tmp_path):
+    """Crash AFTER data files land but BEFORE the manifest commit point:
+    readers never see the orphaned files (manifest-only reads), the replay
+    applies the batch exactly once, and vacuum reclaims the orphans."""
+    import time as _time
+
+    from endor_blockchain_data_pipeline_spark.functions.decode import decode_changes
+    from endor_blockchain_data_pipeline_spark.operators.merge import (
+        changes_to_state,
+        commit_staged_batch,
+        lww_winner_rows,
+    )
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable, bucket_expr
+    from endor_blockchain_data_pipeline_spark.sources.wal import generate_wal, ranged_scan
+
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    wal = generate_wal(spark, 2000, n_convs=16, max_turns=6, seed=11)
+
+    # batch 1 commits normally
+    d1 = decode_changes(lww_winner_rows(ranged_scan(wal, -1, 999)))
+    s1 = changes_to_state(d1, "b1").withColumn(
+        "_bucket", bucket_expr(t.bucket_key, t.n_buckets)
+    )
+    commit_staged_batch(t, t.stage(s1, "b1"), "b1", -1, 999, mode="mor")
+
+    # batch 2 stages its files... and the writer dies before the commit
+    d2 = decode_changes(lww_winner_rows(ranged_scan(wal, 999, 1999)))
+    s2 = changes_to_state(d2, "b2").withColumn(
+        "_bucket", bucket_expr(t.bucket_key, t.n_buckets)
+    )
+    t.stage(s2, "b2")  # staged, never committed
+
+    # readers see ONLY batch 1 (manifest-driven file list, not a dir listing)
+    assert t.committed_batches() == {"b1"}
+    n_after_crash = t.read(spark, with_internal=True).count()
+    assert n_after_crash == s1.count()
+
+    # replay stages fresh files and commits exactly once
+    s2r = changes_to_state(d2, "b2").withColumn(
+        "_bucket", bucket_expr(t.bucket_key, t.n_buckets)
+    )
+    commit_staged_batch(t, t.stage(s2r, "b2"), "b2", 999, 1999, mode="mor")
+    assert t.committed_batches() == {"b1", "b2"}
+    # the MoR read LWW-merges generations per key: every key's winner must
+    # now come from batch 2 (its lsns are strictly higher), with no orphan
+    # rows from the crashed first attempt inflating any generation
+    merged = t.read(spark, with_internal=True)
+    assert merged.count() == s2r.count()
+    assert merged.agg(F.max("_lsn")).first()[0] == s2r.agg(F.max("_lsn")).first()[0]
+    assert merged.where(F.col("_batch") == "b1").count() == 0  # b2 superseded all
+    b2_rows = t.read(spark, with_internal=True, batch_ids=["b2"]).count()
+    assert b2_rows == s2r.count()  # exactly ONE b2 generation (no dup commit)
+
+    # vacuum reclaims the orphaned first-attempt files once outside grace
+    removed = t.vacuum(grace_sec=0)
+    assert removed > 0
+    assert t.read(spark, with_internal=True).count() == s2r.count()  # intact
+    _time.sleep(0)  # (no timing dependence — grace_sec=0 reclaims now)

@@ -84,6 +84,11 @@ HEADLINE = [
     "asof_state_lookup",
     "session_windows",
     "ivf_ann_topk",
+    "pivot_event_counts",
+    "rollup_daily_counts",
+    "running_totals",
+    "hash_split",
+    "corpus_profile",
 ]
 
 

@@ -252,7 +252,13 @@ if __name__ == "__main__":
     ap.add_argument("--convs", type=int, default=4096)
     ap.add_argument("--batch-size", type=int, default=250_000)
     ap.add_argument("--table", default="/tmp/endor_cdc_table")
-    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument(
+        "--buckets", type=int, default=None,
+        help="bucket count for a NEW table (default: library default); for "
+        "an EXISTING table the manifest's stored layout is adopted, and an "
+        "explicit conflicting value is an error — bucket routing is part of "
+        "the table, not a per-run preference",
+    )
     ap.add_argument("--salted", action="store_true")
     ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
     ap.add_argument(
@@ -348,7 +354,10 @@ if __name__ == "__main__":
         )
         dt = time.time() - t0
         applied = sum(1 for r in commits if any(v is not None for v in r.values()))
-        n = max(table.watermark() - lo0, 0) if args.feed else args.events
+        # Event count from the watermark DELTA for synthetic feeds too: an
+        # idempotent rerun applies 0 batches and must print 0 events/sec,
+        # not events/rerun-wall-time.
+        n = max(table.watermark() - lo0, 0)
         print(
             f"fanout applied {applied} batches x 3 sinks, {n} events in "
             f"{dt:.1f}s = {n/max(dt,1e-9):,.0f} events/sec"
@@ -362,7 +371,8 @@ if __name__ == "__main__":
     t0 = time.time()
     commits = job.run_to_watermark(args.batch_size)
     dt = time.time() - t0
-    # LSN-range width == event count for dense feeds (the generator); for
-    # sparse external feeds it is the covered range, stated as such.
-    n = max(job.checkpoint.last_lsn() - lo0, 0) if args.feed else args.events
+    # LSN-range width == event count for dense feeds (the generator — so an
+    # idempotent rerun honestly prints 0); for sparse external feeds it is
+    # the covered range, stated as such.
+    n = max(job.checkpoint.last_lsn() - lo0, 0)
     print(f"applied {len(commits)} batches, {n} events in {dt:.1f}s = {n/max(dt,1e-9):,.0f} events/sec")

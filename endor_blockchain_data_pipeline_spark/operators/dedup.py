@@ -306,6 +306,7 @@ def dup_clusters(
     id_b: str = "id_b",
     max_iters: int = 25,
     driver_pair_limit: int | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Fold candidate near-dup pairs into duplicate clusters.
 
@@ -403,12 +404,24 @@ def dup_clusters(
             break
     edges.unpersist()
     undirected.unpersist()
-    logger.info(
-        "dup_clusters: %s after %d iteration(s), %d label change(s) in last pass",
-        "converged" if changed == 0 else f"stopped at max_iters={max_iters}",
-        iters_run,
-        changed,
-    )
+    if changed != 0:
+        # Partially-propagated labels are WRONG cluster ids (a keep/drop list
+        # built from them drops the wrong docs) — never hand them back
+        # silently. strict=False opts into the partial result (e.g. for
+        # diagnostics), loudly.
+        msg = (
+            f"dup_clusters: label propagation did NOT converge after "
+            f"max_iters={max_iters} ({changed} labels still changing); "
+            "cluster ids are incomplete — raise max_iters (graph diameter "
+            "exceeds the bound)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        logger.warning(msg)
+    else:
+        logger.info(
+            "dup_clusters: converged after %d iteration(s)", iters_run
+        )
     return labels
 
 

@@ -112,7 +112,10 @@ def enrich_with_cached_dim(
             if f.name != cache.key_col:
                 fact = fact.withColumn(f.name, F.lit(None).cast(f.dataType))
         return fact, n_resolved
+    # Drop via the DIM DataFrame's column reference: a by-name drop would
+    # remove BOTH sides when fact_key == cache.key_col, silently losing the
+    # fact's key column.
     enriched = fact.join(
         F.broadcast(dim), fact[fact_key] == dim[cache.key_col], how
-    ).drop(cache.key_col)
+    ).drop(dim[cache.key_col])
     return enriched, n_resolved

@@ -40,15 +40,43 @@ def materialize(df: DataFrame) -> DataFrame:
 
 def parallelize_for_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a compact input ahead of a row-multiplying
-    explode, if (and only if) the planned scan is narrower than the target.
+    explode, if (and only if) the input is byte-small enough that the scan
+    cannot provide the target parallelism.
 
-    ``min_partitions`` defaults to the session's default parallelism (the
-    core count in local mode, cluster cores otherwise). ``df.rdd`` compiles
-    the plan to inspect its partitioning but launches no job.
+    The decision probe is DRIVER-SIDE METADATA ONLY: ``df.inputFiles()``
+    (the leaf files of the plan) plus local ``os.path.getsize``. The
+    previous ``df.rdd.getNumPartitions()`` probe was NOT free under AQE —
+    when the plan contains exchanges (joins/aggregates upstream), ``toRdd``
+    eagerly materializes those shuffle stages and the work is discarded,
+    running them twice. File stats launch no job ever.
+
+    Rule: total leaf-input bytes ≤ target × maxPartitionBytes ⇒ the scan
+    planner cannot produce ≥ target partitions from the data, so repartition
+    (the shuffle moves only the compact pre-explode rows). Bigger inputs —
+    and any input whose leaves aren't stat-able local files (remote object
+    stores, pure in-memory relations ARE stat-able as zero and repartition,
+    which is the safe direction for small test relations) — are left alone:
+    at 100 TB the layout already provides width.
     """
-    if df.isStreaming:  # .rdd is illegal on streaming plans; micro-batch
-        return df       # sizing is the trigger's job, not a repartition's
+    if df.isStreaming:  # inputFiles/.rdd are illegal on streaming plans;
+        return df       # micro-batch sizing is the trigger's job
+    import os
+
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ).lower().removesuffix("b")
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3}.get(raw[-1:], 1)
+    max_bytes = int(raw[:-1] if mult != 1 else raw) * mult
+    total = 0
+    for uri in df.inputFiles():
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            # non-local leaf (s3/hdfs): no cheap stat — assume the table is
+            # production-sized and already wide; do not add a shuffle.
+            return df
+        if total > target * max_bytes:
+            return df
     return df.repartition(target)

@@ -1,0 +1,155 @@
+"""Table-layout reconciliation on reopen + concurrent-writer commit retry.
+
+r3 VERDICT wrong-#1 (silent bucket-routing divergence on reopen) and
+next-round #6 (optimistic retry for commuting MoR appends).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from endor_blockchain_data_pipeline_spark.functions.decode import decode_changes
+from endor_blockchain_data_pipeline_spark.job import CDCJob, brute_force_state
+from endor_blockchain_data_pipeline_spark.operators.merge import (
+    changes_to_state,
+    commit_staged_batch,
+    lww_winner_rows,
+)
+from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable, bucket_expr
+from endor_blockchain_data_pipeline_spark.sources.wal import generate_wal, ranged_scan
+
+from tests.conftest import assert_df_equal
+
+
+# ----------------------------------------------------------- layout reopen
+
+
+def test_reopen_adopts_stored_layout(spark, tmp_path):
+    t = ManifestTable(
+        str(tmp_path / "t"), n_buckets=8, key_cols=("conv_id",), bucket_key="conv_id"
+    )
+    wal = generate_wal(spark, 500, n_convs=8, max_turns=4, seed=3)
+    CDCJob(spark, t, wal).run_batch(-1, 499)
+
+    # reopen with NO layout args: the manifest's stored layout is adopted
+    t2 = ManifestTable(str(tmp_path / "t"))
+    assert t2.n_buckets == 8
+    assert t2.key_cols == ("conv_id",)
+    assert t2.bucket_key == "conv_id"
+
+
+def test_reopen_with_conflicting_layout_raises(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=8)
+    wal = generate_wal(spark, 500, n_convs=8, max_turns=4, seed=3)
+    CDCJob(spark, t, wal).run_batch(-1, 499)
+
+    with pytest.raises(ValueError, match="layout conflict"):
+        ManifestTable(str(tmp_path / "t"), n_buckets=32)
+    with pytest.raises(ValueError, match="layout conflict"):
+        ManifestTable(str(tmp_path / "t"), bucket_key="turn_idx")
+    # matching explicit values are fine
+    assert ManifestTable(str(tmp_path / "t"), n_buckets=8).n_buckets == 8
+
+
+def test_replay_equality_across_layoutless_reopen(spark, tmp_path):
+    """Resume with OMITTED layout params must keep bucket routing identical
+    (the old CLI-default footgun: reopen with a different --buckets silently
+    diverged the merge's bucket pruning -> duplicate keys)."""
+    wal = generate_wal(spark, 2000, n_convs=24, max_turns=6, seed=7)
+    t1 = ManifestTable(str(tmp_path / "t"), n_buckets=8)
+    CDCJob(spark, t1, wal, write_mode="mor").run_to_watermark(
+        batch_size=700, limit_batches=2
+    )
+
+    # crash + resume via a handle that passes NO layout args at all
+    t2 = ManifestTable(str(tmp_path / "t"))
+    assert t2.n_buckets == 8
+    job2 = CDCJob(spark, t2, wal, write_mode="mor")
+    job2.run_to_watermark(batch_size=700)
+    assert_df_equal(job2.read_state(), brute_force_state(decode_changes(wal)))
+    # no duplicate keys: bucket routing stayed consistent across the reopen
+    st = job2.read_state()
+    assert st.count() == st.select("conv_id", "turn_idx").distinct().count()
+
+
+# ------------------------------------------------- concurrent append commits
+
+
+def _staged_batch(spark, t, wal, lo, hi, batch_id):
+    d = decode_changes(lww_winner_rows(ranged_scan(wal, lo, hi)))
+    s = changes_to_state(d, batch_id).withColumn(
+        "_bucket", bucket_expr(t.bucket_key, t.n_buckets)
+    )
+    return t.stage(s, batch_id)
+
+
+def test_append_commit_race_retries_and_both_land(spark, tmp_path):
+    """Two writers race on the same version: the loser re-bases its MoR
+    append on the winner's snapshot and retries (appends commute)."""
+    wal = generate_wal(spark, 1200, n_convs=16, max_turns=6, seed=13)
+    ta = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    tb = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+
+    base = _staged_batch(spark, ta, wal, -1, 399, "b0")
+    ta.commit_staged(base, "b0", -1, 399, None, mode="append")
+
+    sa = _staged_batch(spark, ta, wal, 399, 799, "bA")
+    sb = _staged_batch(spark, tb, wal, 799, 1199, "bB")
+
+    # Writer A publishes first; writer B's first attempt is forced to target
+    # A's (now taken) version — the deterministic reproduction of the
+    # listdir->link race window.
+    ta.commit_staged(sa, "bA", 399, 799, None, mode="append")
+
+    attempts = {"n": 0}
+    real_once = ManifestTable._commit_staged_once
+
+    def racing_once(self, *a, **k):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            real_cv = self.current_version
+            self.current_version = lambda: real_cv() - 1  # stale snapshot view
+            try:
+                return real_once(self, *a, **k)
+            finally:
+                self.current_version = real_cv
+        return real_once(self, *a, **k)
+
+    tb._commit_staged_once = racing_once.__get__(tb)
+    tb.commit_staged(sb, "bB", 799, 1199, None, mode="append")
+    assert attempts["n"] == 2  # first attempt raced, retry landed
+
+    # both appends are committed and the merged state equals the oracle
+    t = ManifestTable(str(tmp_path / "t"))
+    assert {"b0", "bA", "bB"} <= t.committed_batches()
+    assert_df_equal(
+        t.read(spark), brute_force_state(decode_changes(wal))
+    )
+
+
+def test_replace_commit_race_is_terminal(spark, tmp_path):
+    """Replace-mode commits do NOT commute — a version race must error."""
+    wal = generate_wal(spark, 600, n_convs=8, max_turns=4, seed=5)
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    s0 = _staged_batch(spark, t, wal, -1, 299, "b0")
+    t.commit_staged(s0, "b0", -1, 299, None, mode="append")
+
+    s1 = _staged_batch(spark, t, wal, 299, 599, "b1")
+    real_once = ManifestTable._commit_staged_once
+    first = {"done": False}
+
+    def racing_once(self, *a, **k):
+        if not first["done"]:
+            first["done"] = True
+            real_cv = self.current_version
+            self.current_version = lambda: real_cv() - 1
+            try:
+                return real_once(self, *a, **k)
+            finally:
+                self.current_version = real_cv
+        return real_once(self, *a, **k)
+
+    t._commit_staged_once = racing_once.__get__(t)
+    with pytest.raises(RuntimeError, match="not retrying"):
+        t.commit_staged(s1, "b1", 299, 599, None, mode="replace")

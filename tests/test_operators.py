@@ -109,15 +109,23 @@ def test_dup_clusters_transitive_chain(spark):
 
 def test_dup_clusters_max_iters_bound(spark):
     """max_iters caps the propagation: a 6-node path needs 5 passes to fully
-    converge; with max_iters=1 labels move at most one hop."""
+    converge; with max_iters=1 the default (strict) call FAILS LOUDLY —
+    partially-propagated labels are wrong cluster ids, never a silent
+    return — and strict=False opts into the partial result explicitly."""
+    import pytest as _pytest
+
     from endor_blockchain_data_pipeline_spark.operators.dedup import dup_clusters
 
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
     )
+    with _pytest.raises(RuntimeError, match="did NOT converge"):
+        dup_clusters(path, max_iters=1, driver_pair_limit=0).collect()
     one_hop = {
         r["node"]: r["cluster_id"]
-        for r in dup_clusters(path, max_iters=1, driver_pair_limit=0).collect()
+        for r in dup_clusters(
+            path, max_iters=1, driver_pair_limit=0, strict=False
+        ).collect()
     }
     assert one_hop[6] == 5  # moved exactly one hop, not converged
     full = {

@@ -551,6 +551,31 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_resolution(d, pairs, "doc_id")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup against a PERSISTED MinHash band index: the
+    documents table arrives as two batches (even ids, then odd ids); each
+    batch computes bands for ITS docs only and joins them against the index
+    (+ intra-batch), folding new pairs into the persisted cluster labels.
+    The final keep-list must equal the one-shot resolution over the whole
+    corpus — which is exactly what the oracle computes."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
+        DedupIndex,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _tempfile.mkdtemp(
+        prefix="endor-incdedup-",
+        dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+    )
+    idx = DedupIndex(spark, root)  # k_shingle=12, n_hashes=4, n_bands=2, md5_long
+    idx.add_batch(d.where(F.col("doc_id") % 2 == 0), "b-even")
+    idx.add_batch(d.where(F.col("doc_id") % 2 == 1), "b-odd")
+    return idx.keep_list()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed embedding near-dup pairs (cosine >= 0.15 within bucket)."""
     from endor_blockchain_data_pipeline_spark.operators.similarity import (
@@ -774,6 +799,33 @@ _SQL_LSH_PAIRS_CTES = """
 """
 
 
+# One-shot near-dup keep-list (LSH pairs -> recursive min-label CC -> per-doc
+# verdict). Shared by the dup_clusters oracle AND the incremental_dedup
+# oracle: the incremental fold must reproduce the one-shot result exactly.
+_SQL_KEEP_LIST = f"""
+    WITH RECURSIVE {_SQL_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+    -- min-label reachability: the component's min id is < every node
+    -- on any path out of it, so (node, component_min) is always
+    -- generated; larger labels are pruned by r.lbl < e.dst and the
+    -- UNION dedup terminates the recursion.
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.lbl < e.dst),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+           (COALESCE(cc.cluster_id, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -813,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats_rollup": q_conv_stats_rollup,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "dup_clusters": q_dup_clusters,
+        "incremental_dedup": q_incremental_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "schema_projection_cast": q_schema_projection_cast,
         "scaled_decimal": q_scaled_decimal,
@@ -1028,28 +1081,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ev GROUP BY conv_id
         """,
         "lsh_candidate_pairs": f"WITH {_SQL_LSH_PAIRS_CTES} SELECT id_a, id_b FROM lsh_pairs",
-        "dup_clusters": f"""
-            WITH RECURSIVE {_SQL_LSH_PAIRS_CTES},
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM lsh_pairs
-              UNION
-              SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
-            -- min-label reachability: the component's min id is < every node
-            -- on any path out of it, so (node, component_min) is always
-            -- generated; larger labels are pruned by r.lbl < e.dst and the
-            -- UNION dedup terminates the recursion.
-            reach(node, lbl) AS (
-              SELECT src, src FROM edges
-              UNION
-              SELECT e.dst, r.lbl
-              FROM reach r JOIN edges e ON e.src = r.node
-              WHERE r.lbl < e.dst),
-            cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
-            SELECT d.doc_id,
-                   COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
-                   (COALESCE(cc.cluster_id, d.doc_id) = d.doc_id) AS keep
-            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-        """,
+        "dup_clusters": _SQL_KEEP_LIST,
+        # incremental_dedup MUST equal the one-shot resolution over the
+        # whole corpus (band signatures are per-doc deterministic and the
+        # batched pair set telescopes) — so the oracle IS the one-shot
+        # keep-list SQL, and any drift in the incremental fold hash-fails.
+        "incremental_dedup": _SQL_KEEP_LIST,
         "embedding_near_dup": _build_embedding_near_dup_sql(0.15, n_bits=8, dim=64, seed=42),
         "schema_projection_cast": """
             SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,

@@ -81,6 +81,7 @@ HEADLINE = [
     "simhash_candidates",
     "srp_ann_topk",
     "dup_clusters",
+    "incremental_dedup",
     "asof_state_lookup",
     "session_windows",
     "ivf_ann_topk",

@@ -224,6 +224,70 @@ def _norm_py(v: list[float]) -> float:
     return acc ** 0.5
 
 
+def ivf_train_lloyd(
+    df: DataFrame,
+    seed_ids: list[int],
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd refinement of the dataset-row IVF centroids.
+
+    Each iteration: assign every vector to its nearest current centroid
+    (``ivf_assign_expr`` — K literal-array cosine folds, one map stage) and
+    recompute each centroid as its bucket's per-dimension MEAN. The mean is
+    made ORDER-INDEPENDENT (and therefore cross-engine reproducible, so the
+    DuckDB oracle can replay the training bit-for-bit) by quantizing each
+    component to an integer first::
+
+        q_i = floor(v_i * quant)           -- exact, per-row
+        centroid_i = (sum(q_i) / quant) / n  -- exact BIGINT sum, then double
+
+    A float mean over a distributed sum would depend on partition order;
+    integer sums cannot. The 1e-6 quantization error is far below what
+    moves a nearest-centroid assignment. Buckets that lose all members keep
+    their previous centroid (mirrored in the oracle SQL). Driver traffic is
+    K x dim longs per iteration — the classic k-means-lite bootstrap, 2-3
+    iterations buy most of the bucket-balance win without a training-
+    pipeline dependency.
+
+    Scale note: the BIGINT sums stay exact while n_bucket * quant * |v| <
+    2^63 and double-exact while < 2^53 — petabyte corpora would bump
+    ``quant`` down or shard the sum; at any bench SF it is exact.
+    """
+    cents = ivf_centroids(df, seed_ids, vec_col, id_col)
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assign = df.select(
+            ivf_assign_expr(vec_col, cents).alias("bucket"), F.col(vec_col)
+        )
+        aggs = [F.count("*").alias("_n")] + [
+            F.sum(
+                F.floor(
+                    F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(quant)
+                ).cast("long")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        by_bucket = {
+            int(r["bucket"]): r for r in assign.groupBy("bucket").agg(*aggs).collect()
+        }
+        cents = [
+            (
+                cid,
+                old
+                if cid not in by_bucket or by_bucket[cid]["_n"] == 0
+                else [
+                    (by_bucket[cid][f"s{i}"] / quant) / by_bucket[cid]["_n"]
+                    for i in range(dim)
+                ],
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_assign_expr(
     vec_col: Column | str, centroids: list[tuple[int, list[float]]]
 ) -> Column:

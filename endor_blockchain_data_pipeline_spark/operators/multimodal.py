@@ -6,17 +6,21 @@ as Arrow-batched ``mapInPandas`` (one Python worker pass per partition, no
 per-row overhead), sized so each Arrow batch holds a bounded number of
 media blobs (``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
-Two of the three decode paths are fully REAL with the stdlib alone:
+The decode paths are REAL with the stdlib alone for:
 - AUDIO: ``extract_audio_features`` parses actual RIFF/WAV containers with
   ``wave`` (sample rate, channels, true duration, RMS from the PCM frames,
   8- and 16-bit PCM).
 - IMAGE (BMP): ``decode_bmp`` parses uncompressed 24-bit BMPs — header
   width/height, pixel mean/entropy, 8x8 average-luma perceptual hash.
-Compressed codecs (PNG/JPEG/mp4 need PIL/ffmpeg, absent here) fall back to
-deterministic, clearly-marked stubs (``_decode_image_stub`` etc.); the
-Spark-side plumbing (schemas, batching, partitioning, UDF signatures) is
-identical and tested — swap the stub body for a real codec and nothing
-else changes.
+- IMAGE (PNG): ``decode_png`` fully decodes non-interlaced 8-bit
+  gray/RGB/RGBA PNGs — zlib inflate + all five scanline unfilters
+  (None/Sub/Up/Average/Paeth) — into the same BGR row shape, sharing the
+  feature kernel with BMP (identical pixels => identical phash, tested).
+Codecs that genuinely need external libraries (JPEG/mp4 need PIL/ffmpeg,
+absent here) fall back to deterministic, clearly-marked stubs
+(``_decode_image_stub`` etc.); the Spark-side plumbing (schemas, batching,
+partitioning, UDF signatures) is identical and tested — swap the stub body
+for a real codec and nothing else changes.
 
 Scale notes: media rows are large — repartition by size (``target_rows_per
 _partition``) before a decode pass so one straggler blob doesn't serialize
@@ -286,9 +290,23 @@ def _luma_grid(w: int, h: int, rows: list[bytes]) -> list[list[float]]:
 def _decode_bmp_features(data: bytes) -> dict:
     """REAL pixel features for BMP blobs: header width/height, mean/entropy
     over the actual pixel bytes, and an 8x8 average-luma perceptual hash."""
+    w, h, rows = decode_bmp(data)
+    return _pixel_features(len(bytes(data)), w, h, rows)
+
+
+def _decode_png_features(data: bytes) -> dict:
+    """REAL pixel features for PNG blobs (stdlib inflate + unfilter)."""
+    w, h, rows = decode_png(data)
+    return _pixel_features(len(bytes(data)), w, h, rows)
+
+
+def _pixel_features(n_blob_bytes: int, w: int, h: int, rows: list[bytes]) -> dict:
+    """Shared feature kernel over decoded BGR rows: pixel-byte mean/entropy
+    + the 8x8 average-luma perceptual hash. Identical pixel content yields
+    an identical phash regardless of the container format (tested: the same
+    md5-derived image encoded as BMP and PNG hashes equal)."""
     import math
 
-    w, h, rows = decode_bmp(data)
     px = b"".join(rows)
     n = len(px)
     counts: dict[int, int] = {}
@@ -311,11 +329,184 @@ def _decode_bmp_features(data: bytes) -> dict:
     for v in grid:
         bits = (bits << 1) | (1 if v > gmean else 0)
     return {
-        "n_bytes": len(bytes(data)),
+        "n_bytes": n_blob_bytes,
         "byte_mean": mean,
         "byte_entropy": ent,
         "phash": f"{bits:016x}",
     }
+
+
+def synthesize_png(
+    media_id: int, seed: int = 42, width: int = 24, height: int = 16
+) -> bytes:
+    """A REAL (viewable) 8-bit RGB PNG: deterministic per-pixel values from
+    md5(seed, media_id, x, y); scanline filters CYCLE through all five
+    types (None/Sub/Up/Average/Paeth) so the decoder's unfilter paths are
+    all exercised by the fixture, exactly how real encoders mix filters."""
+    import hashlib
+    import struct as _struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + tag
+            + body
+            + _struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            h = hashlib.md5(f"{seed}:{media_id}:{x}:{y}".encode()).digest()
+            # digest bytes are (B, G, R) in the BMP fixture; emit the same
+            # PIXEL here (R=h[2], G=h[1], B=h[0]) so the two containers
+            # carry identical images and must phash-match.
+            row += bytes((h[2], h[1], h[0]))
+        raw_rows.append(bytes(row))
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    out = bytearray()
+    prev = bytes(width * bpp)
+    for y, row in enumerate(raw_rows):
+        ft = y % 5
+        out.append(ft)
+        for i, v in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = (v - left) & 0xFF
+            elif ft == 2:
+                f = (v - up) & 0xFF
+            elif ft == 3:
+                f = (v - (left + up) // 2) & 0xFF
+            else:
+                f = (v - paeth(left, up, ul)) & 0xFF
+            out.append(f)
+        prev = row
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Media table of REAL PNG blobs (driver-built test fixture)."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i * 7) % 24, 8 + (i * 5) % 16
+        blob = synthesize_png(i, seed, w, h)
+        rows.append((i, "image", "image/png", bytearray(blob), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_png(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a non-interlaced 8-bit PNG with the stdlib only (zlib inflate +
+    per-scanline unfilter: None/Sub/Up/Average/Paeth). Color types 0
+    (grayscale), 2 (RGB) and 6 (RGBA) are supported; rows come back as
+    packed 3-byte BGR pixels (alpha dropped, gray replicated) — the same
+    row shape ``decode_bmp`` yields, so the feature kernel is shared.
+    Palette/16-bit/interlaced PNGs raise: this is the decoder for the
+    formats the engine can fully own, not a general codec."""
+    import struct as _struct
+    import zlib
+
+    b = bytes(data)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = _struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = _struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            f"only non-interlaced 8-bit gray/RGB/RGBA PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+
+    def paeth(a: int, b_: int, c: int) -> int:
+        p = a + b_ - c
+        pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b_ if pb <= pc else c
+
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prev = bytes(line)
+        # normalize to packed BGR (the decode_bmp row shape)
+        if color_type == 2:
+            bgr = bytearray()
+            for x in range(w):
+                r, g, bl = line[3 * x], line[3 * x + 1], line[3 * x + 2]
+                bgr += bytes((bl, g, r))
+        elif color_type == 6:
+            bgr = bytearray()
+            for x in range(w):
+                r, g, bl = line[4 * x], line[4 * x + 1], line[4 * x + 2]
+                bgr += bytes((bl, g, r))
+        else:  # grayscale
+            bgr = bytearray()
+            for x in range(w):
+                v = line[x]
+                bgr += bytes((v, v, v))
+        rows.append(bytes(bgr))
+    return w, h, rows
 
 
 def _decode_image_stub(data: bytes) -> dict:
@@ -345,12 +536,17 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     documented byte-statistics stub until codec libraries are available.
     Dispatch is per blob on the magic bytes, inside the same Arrow batch."""
 
+    def _dispatch(d) -> dict:
+        b = bytes(d)
+        if b[:2] == b"BM":
+            return _decode_bmp_features(b)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png_features(b)
+        return _decode_image_stub(b)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_bmp_features(d) if bytes(d)[:2] == b"BM" else _decode_image_stub(d)
-                for d in pdf["data"]
-            ]
+            feats = [_dispatch(d) for d in pdf["data"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             out["n_bytes"] = out["n_bytes"].astype("int32")

@@ -253,3 +253,106 @@ def test_audio_features_8bit_and_reject_unsupported(spark):
 
     with _pytest.raises(Exception, match="only 8/16-bit PCM"):
         extract_audio_features(media_bad).collect()
+
+
+def test_png_decode_roundtrip_all_filters(spark):
+    """synthesize_png cycles through every scanline filter type; decode_png
+    must invert all five back to the exact md5-derived pixels."""
+    import hashlib
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        synthesize_png,
+    )
+
+    w_, h_ = 11, 9  # odd sizes, > 5 rows so filters 0-4 all appear
+    blob = synthesize_png(3, seed=7, width=w_, height=h_)
+    w, h, rows = decode_png(blob)
+    assert (w, h) == (w_, h_)
+    for y in (0, 1, 2, 3, 4, h_ - 1):  # one row per filter type + last
+        for x in (0, 1, w_ - 1):
+            d = hashlib.md5(f"7:3:{x}:{y}".encode()).digest()
+            assert rows[y][3 * x : 3 * x + 3] == d[:3]  # BGR == digest[:3]
+
+
+def test_png_rgba_and_grayscale_decode(spark):
+    """Hand-built color-type 6 (RGBA) and 0 (gray) PNGs decode to the
+    normalized BGR rows (alpha dropped, gray replicated)."""
+    import struct
+    import zlib
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(color_type, w, h, scanlines):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+        )
+
+    # 2x2 RGBA, filter 0: pixels (R,G,B,A)
+    sl = bytes([0, 10, 20, 30, 255, 40, 50, 60, 128,
+                0, 70, 80, 90, 0, 100, 110, 120, 7])
+    w, h, rows = decode_png(png(6, 2, 2, sl))
+    assert (w, h) == (2, 2)
+    assert rows[0] == bytes([30, 20, 10, 60, 50, 40])  # BGR, alpha gone
+    assert rows[1] == bytes([90, 80, 70, 120, 110, 100])
+
+    # 3x1 grayscale, filter 1 (Sub): raw deltas 5, +3, +250 (wraps)
+    sl = bytes([1, 5, 3, 250])
+    w, h, rows = decode_png(png(0, 3, 1, sl))
+    vals = [5, 8, 2]  # 8 + 250 mod 256
+    assert rows[0] == bytes(v for g in vals for v in (g, g, g))
+
+    # interlaced / 16-bit / palette are rejected, not misparsed
+    import pytest as _pytest
+
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_bad) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="supported"):
+        decode_png(bad)
+
+
+def test_png_and_bmp_same_image_same_phash(spark):
+    """The SAME md5-derived image encoded as BMP and as PNG must produce
+    identical pixel features through the shared kernel — the container is
+    plumbing, the pixels are the content."""
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _decode_bmp_features,
+        _decode_png_features,
+        synthesize_bmp,
+        synthesize_png,
+    )
+
+    for i in (0, 5):
+        fb = _decode_bmp_features(synthesize_bmp(i, seed=42, width=16, height=12))
+        fp = _decode_png_features(synthesize_png(i, seed=42, width=16, height=12))
+        assert fb["phash"] == fp["phash"]
+        assert abs(fb["byte_mean"] - fp["byte_mean"]) < 1e-9
+        assert abs(fb["byte_entropy"] - fp["byte_entropy"]) < 1e-9
+
+
+def test_image_features_dispatch_png(spark):
+    """extract_image_features routes PNG blobs through the real decoder
+    inside the Arrow mapInPandas kernel (magic-byte dispatch per blob)."""
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _decode_png_features,
+        extract_image_features,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(spark, n=6)
+    got = {
+        r["media_id"]: (r["phash"], r["byte_entropy"])
+        for r in extract_image_features(media).collect()
+    }
+    assert len(got) == 6
+    for r in media.select("media_id", "data").collect():
+        exp = _decode_png_features(bytes(r["data"]))
+        assert got[r["media_id"]] == (exp["phash"], exp["byte_entropy"])

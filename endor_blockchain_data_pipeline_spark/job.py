@@ -269,6 +269,24 @@ if __name__ == "__main__":
     )
     ap.add_argument("--compact-threshold", type=int, default=8)
     ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="maintenance mode: full-table compaction — fold every MoR "
+        "generation to one AND drop tombstones (run only once late replays "
+        "are impossible); idempotent per table version; combinable with "
+        "--vacuum",
+    )
+    ap.add_argument(
+        "--vacuum",
+        type=float,
+        default=None,
+        metavar="GRACE_SEC",
+        help="maintenance mode: delete data files unreferenced by the "
+        "LATEST snapshot (destroys time travel), skipping commit dirs "
+        "younger than GRACE_SEC (possibly staged-but-uncommitted); 0 only "
+        "when no job is running against the table",
+    )
+    ap.add_argument(
         "--dedup",
         default=None,
         metavar="DOCS_PARQUET:OUT_DIR",
@@ -313,6 +331,48 @@ if __name__ == "__main__":
         )
         raise SystemExit(0)
     table = ManifestTable(args.table, n_buckets=args.buckets)
+    if args.compact or args.vacuum is not None:
+        # Maintenance mode: operate on the existing table and exit — no
+        # ingest. Compaction commits a replace snapshot (idempotent per
+        # table version); vacuum then reclaims unreferenced files.
+        import os
+
+        if table.current_version() == 0:
+            raise SystemExit(f"no committed snapshot at {args.table}")
+
+        def _count_data_files() -> int:
+            return sum(
+                1
+                for _root, _dirs, files in os.walk(os.path.join(args.table, "data"))
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        if args.compact:
+            from endor_blockchain_data_pipeline_spark.operators.merge import compact
+
+            # Idempotency key = the watermark being compacted THROUGH: a
+            # replay sees the same watermark (compaction doesn't advance it)
+            # and skips; new ingested data advances it and re-enables.
+            cid = f"compact-full-wm{table.watermark()}"
+            if cid in table.committed_batches():
+                print(f"compact: {cid} already committed, skipping")
+            else:
+                before = _count_data_files()
+                m = compact(table, spark, cid)
+                print(
+                    f"compact: folded to version {m['version']} "
+                    f"({before} data files referenced+staged before; vacuum "
+                    "reclaims the superseded ones)"
+                )
+        if args.vacuum is not None:
+            before = _count_data_files()
+            removed = table.vacuum(grace_sec=args.vacuum)
+            print(
+                f"vacuum: removed {removed} unreferenced files "
+                f"({before} -> {_count_data_files()} data files)"
+            )
+        raise SystemExit(0)
     if args.feed:
         from endor_blockchain_data_pipeline_spark.sources.feeds import (
             BinaryDirFeed,

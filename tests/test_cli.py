@@ -43,3 +43,53 @@ def test_cli_dedup_mode(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_cli_compact_and_vacuum_e2e(spark, tmp_path):
+    """run (MoR, no auto-compaction) -> --compact -> --vacuum 0: state is
+    replay-equal before/after, generations fold to 1, tombstones drop, and
+    the data-file count actually shrinks on disk."""
+    import os
+
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+
+    table = str(tmp_path / "t")
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "endor_blockchain_data_pipeline_spark.job",
+             "--table", table, *extra],
+            capture_output=True, text=True, timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    def n_files():
+        return sum(
+            1 for _r, _d, fs in os.walk(os.path.join(table, "data"))
+            for f in fs if f.endswith(".parquet")
+        )
+
+    run("--events", "20000", "--convs", "64", "--batch-size", "4000",
+        "--buckets", "4", "--mode", "mor", "--compact-threshold", "1000")
+    t = ManifestTable(table)
+    assert len(t.multi_gen_buckets(2)) > 0  # really multi-generation
+    before_rows = sorted(tuple(r) for r in t.read(spark).collect())
+    files_before = n_files()
+
+    out = run("--compact")
+    assert "compact: folded to version" in out, out
+    out = run("--vacuum", "0")
+    assert "vacuum: removed" in out, out
+
+    t2 = ManifestTable(table)
+    assert t2.multi_gen_buckets(2) == []  # single generation everywhere
+    internal = t2.read(spark, with_internal=True)
+    assert internal.where(F.col("_deleted")).count() == 0  # tombstones gone
+    after_rows = sorted(tuple(r) for r in t2.read(spark).collect())
+    assert after_rows == before_rows  # replay-equal through compact+vacuum
+    assert n_files() < files_before  # files actually reclaimed
+
+    # maintenance replay is idempotent
+    out = run("--compact")
+    assert "already committed" in out, out

@@ -193,8 +193,11 @@ def test_type_widening_end_to_end(spark, tmp_path):
 
 
 def test_concurrent_commit_collision_detected(spark, tmp_path):
-    """Two writers racing on the same version: the loser gets an error, the
-    winner's snapshot is never clobbered (link-based commit point)."""
+    """Two writers racing on the same version: the winner's snapshot is
+    never clobbered (link-based commit point). An append loser normally
+    re-bases and retries (tests/test_layout_and_race.py); here the loser's
+    version view is pinned stale, so every retry re-collides and the commit
+    must FAIL after bounded attempts rather than overwrite."""
     import datetime as dt
 
     import pytest
@@ -219,8 +222,11 @@ def test_concurrent_commit_collision_detected(spark, tmp_path):
     from unittest import mock
 
     with mock.patch.object(t2, "current_version", return_value=0):
-        with pytest.raises(RuntimeError, match="concurrent commit"):
+        with pytest.raises(RuntimeError, match="lost the version race"):
             t2.commit_staged(s2, "w2", lsn_lo=-1, lsn_hi=1, replaced_buckets=None, mode="append")
+        # a REPLACE race is terminal immediately (replaces don't commute)
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            t2.commit_staged(s2, "w2", lsn_lo=-1, lsn_hi=1, replaced_buckets=None, mode="replace")
     # winner's manifest intact
     assert t1.manifest(1)["batch_id"] == "w1"
     assert len(os.listdir(os.path.join(str(tmp_path / "c"), "_manifests"))) == 1

@@ -118,17 +118,23 @@ class DedupIndex:
             }
             with open(pfile, "w") as fh:
                 json.dump(self.params, fh)
+        # unique_lsn=False: these tables stamp _lsn per BATCH, so every read
+        # (including compaction's) is forced onto the per-key window merge —
+        # the lsn-equality broadcast join-back is unsound here and the table
+        # itself now refuses it.
         self.bands = ManifestTable(
             os.path.join(root, "bands"),
             n_buckets=n_buckets,
             key_cols=(id_col, "band_idx"),
             bucket_key=id_col,
+            unique_lsn=False,
         )
         self.clusters = ManifestTable(
             os.path.join(root, "clusters"),
             n_buckets=n_buckets,
             key_cols=(id_col,),
             bucket_key=id_col,
+            unique_lsn=False,
         )
 
     # ---------------- reads ----------------
@@ -136,10 +142,32 @@ class DedupIndex:
     def _read(self, table: ManifestTable, **kw) -> DataFrame | None:
         if table.manifest() is None:
             return None
-        # window merge: _lsn is per-BATCH here (not per-row unique), so the
-        # CDC broadcast join-back on lsn equality would be wrong — the
-        # per-key row_number merge is the correct strategy for these tables.
-        return table.read(self.spark, merge_strategy="window", **kw)
+        # _lsn is per-BATCH here (not per-row unique): the tables are opened
+        # with unique_lsn=False, which pins every merge — this read's AND
+        # compaction's — to the per-key window strategy (the CDC broadcast
+        # join-back on lsn equality would be wrong).
+        return table.read(self.spark, **kw)
+
+    def maintain(
+        self, compact_threshold: int = 8, vacuum_grace_sec: float = 3600.0
+    ) -> dict:
+        """Bound the index's read amplification: fold any bucket that has
+        accumulated ``compact_threshold`` generations (one per ingested
+        batch) back to one, then vacuum unreferenced files. Idempotent per
+        watermark; run it every N batches like the CDC job's auto-compaction.
+        """
+        from endor_blockchain_data_pipeline_spark.operators.merge import (
+            compact_buckets,
+        )
+
+        out = {}
+        for name, t in (("bands", self.bands), ("clusters", self.clusters)):
+            due = t.multi_gen_buckets(compact_threshold)
+            if due:
+                compact_buckets(t, self.spark, f"compact-wm{t.watermark()}", due)
+            removed = t.vacuum(grace_sec=vacuum_grace_sec)
+            out[name] = {"buckets_compacted": len(due), "files_removed": removed}
+        return out
 
     def keep_list(self) -> DataFrame:
         """Corpus-wide verdict: (id, cluster_id, keep) — ``keep`` marks the
@@ -227,13 +255,13 @@ class DedupIndex:
                 )
             )
             pairs = pairs.unionByName(cross)
-        pair_rows = pairs.distinct().limit(self.driver_pair_limit + 1).collect()
+        pairs = materialize(pairs.distinct())
+        pair_rows = pairs.limit(self.driver_pair_limit + 1).collect()
         if len(pair_rows) > self.driver_pair_limit:
-            raise RuntimeError(
-                f"batch {batch_id!r}: candidate pair count exceeds the "
-                f"driver fold bound ({self.driver_pair_limit}); raise the "
-                "limit or tighten the LSH bucket caps"
-            )
+            # Pair set too big for the driver union-find: fold DISTRIBUTED —
+            # same adaptive discipline as dup_clusters, nothing corpus-sized
+            # ever reaches the driver.
+            return self._add_batch_distributed(docs, batch_id, new_bands, pairs)
 
         # ---- fold pairs into cluster labels (driver union-find over the
         # TOUCHED subgraph only) ----
@@ -294,18 +322,98 @@ class DedupIndex:
             if lbl != old and i not in new_set:
                 out_rows.append((i, lbl))
 
+        labels = self.spark.createDataFrame(out_rows, f"{id_col} long, cluster_id long")
+        return self._commit_batch(
+            batch_id,
+            new_bands,
+            labels,
+            {
+                "batch_id": batch_id,
+                "fold": "driver-union-find",
+                "n_new_docs": len(new_ids),
+                "n_pairs": len(pair_rows),
+                "n_label_writes": len(out_rows),
+            },
+        )
+
+    def _add_batch_distributed(
+        self, docs: DataFrame, batch_id: str, new_bands: DataFrame, pairs: DataFrame
+    ) -> dict:
+        """The fold for pair sets beyond the driver bound: pure DataFrames.
+
+        Edges = new pairs + (member -> cluster_id) edges of the AFFECTED
+        clusters; ``dup_clusters`` runs its distributed hash-min label
+        propagation over them (it would re-choose union-find only if the
+        union shrank under the bound). Label rows to write are computed by
+        joins — nothing corpus-sized is ever collected.
+        """
+        id_col = self.id_col
+        touched = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        cl = self._read(self.clusters)
+        edges = pairs
+        members = None
+        if cl is not None:
+            affected_cids = (
+                cl.join(touched, id_col, "leftsemi").select("cluster_id").distinct()
+            )
+            members = materialize(
+                cl.join(
+                    affected_cids.withColumnRenamed("cluster_id", "_cid"),
+                    cl["cluster_id"] == F.col("_cid"),
+                    "leftsemi",
+                ).select(id_col, "cluster_id")
+            )
+            member_edges = members.where(
+                F.col(id_col) != F.col("cluster_id")
+            ).select(
+                F.least(id_col, "cluster_id").alias("id_a"),
+                F.greatest(id_col, "cluster_id").alias("id_b"),
+            )
+            edges = edges.unionByName(member_edges)
+        from endor_blockchain_data_pipeline_spark.operators.dedup import dup_clusters
+
+        labels = dup_clusters(edges, driver_pair_limit=self.driver_pair_limit)
+        new_rows = (
+            docs.select(F.col(id_col))
+            .distinct()
+            .join(labels, F.col(id_col) == labels["node"], "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            )
+        )
+        out = new_rows
+        if members is not None:
+            changed = (
+                members.withColumnRenamed("cluster_id", "_old")
+                .join(labels, F.col(id_col) == labels["node"], "left")
+                .select(
+                    F.col(id_col),
+                    F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+                    F.col("_old"),
+                )
+                .where(F.col("cluster_id") != F.col("_old"))
+                .join(new_rows.select(id_col), id_col, "left_anti")
+                .select(id_col, "cluster_id")
+            )
+            out = out.unionByName(changed)
+        return self._commit_batch(
+            batch_id,
+            new_bands,
+            out,
+            {"batch_id": batch_id, "fold": "distributed-label-propagation"},
+        )
+
+    def _commit_batch(
+        self, batch_id: str, new_bands: DataFrame, labels: DataFrame, stats: dict
+    ) -> dict:
+        """Publish bands then cluster labels, each idempotent per batch id."""
         seq = self.bands.watermark() + 1
-
-        stats = {
-            "batch_id": batch_id,
-            "n_new_docs": len(new_ids),
-            "n_pairs": len(pair_rows),
-            "n_label_writes": len(out_rows),
-            "replayed_bands": False,
-            "replayed_clusters": False,
-        }
-
-        # ---- commit: bands first, then clusters (each idempotent) ----
+        stats = {**stats, "replayed_bands": False, "replayed_clusters": False}
         if batch_id in self.bands.committed_batches():
             stats["replayed_bands"] = True
         else:
@@ -316,9 +424,6 @@ class DedupIndex:
         if batch_id in self.clusters.committed_batches():
             stats["replayed_clusters"] = True
         else:
-            labels = self.spark.createDataFrame(
-                out_rows, f"{id_col} long, cluster_id long"
-            )
             staged = self.clusters.stage(
                 self._with_internals(labels, batch_id, seq), batch_id
             )

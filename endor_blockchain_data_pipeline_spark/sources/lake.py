@@ -178,6 +178,7 @@ class ManifestTable:
         n_buckets: int | None = None,
         key_cols: tuple[str, ...] | None = None,
         bucket_key: str | None = None,
+        unique_lsn: bool | None = None,
     ) -> None:
         self.path = path
         # Remember which layout params the CALLER pinned: on reopen of an
@@ -190,10 +191,18 @@ class ManifestTable:
             "n_buckets": n_buckets is not None,
             "key_cols": key_cols is not None,
             "bucket_key": bucket_key is not None,
+            "unique_lsn": unique_lsn is not None,
         }
         self.n_buckets = self.DEFAULT_N_BUCKETS if n_buckets is None else int(n_buckets)
         self.key_cols = tuple(key_cols) if key_cols is not None else self.DEFAULT_KEY_COLS
         self.bucket_key = bucket_key if bucket_key is not None else self.DEFAULT_BUCKET_KEY
+        # unique_lsn=False declares that _lsn is NOT globally unique per row
+        # (e.g. per-batch sequence numbers): the generation merge must then
+        # use the per-key window, never the lsn-equality broadcast join-back
+        # (which silently keeps every row sharing a winner's lsn VALUE).
+        # Persisted in the manifest like the rest of the layout — a reader
+        # cannot opt into a merge strategy that is unsound for the table.
+        self.unique_lsn = True if unique_lsn is None else bool(unique_lsn)
         self._manifest_dir = os.path.join(path, "_manifests")
         self._data_dir = os.path.join(path, "data")
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -213,6 +222,7 @@ class ManifestTable:
             "n_buckets": int(m.get("n_buckets", self.n_buckets)),
             "key_cols": tuple(m.get("key_cols", self.key_cols)),
             "bucket_key": m.get("bucket_key", self.bucket_key),
+            "unique_lsn": bool(m.get("unique_lsn", self.unique_lsn)),
         }
         for name, val in stored.items():
             cur = getattr(self, name)
@@ -391,6 +401,18 @@ class ManifestTable:
         if merge_buckets:
             key_cols = list(m.get("key_cols", self.key_cols))
             strategy = merge_strategy
+            if not bool(m.get("unique_lsn", True)):
+                # The broadcast merge joins back on lsn VALUE equality,
+                # which is only sound when every row's _lsn is unique; this
+                # table declared per-batch lsns, so broadcast would keep
+                # every same-lsn row. Window is the only correct merge.
+                if strategy == "broadcast":
+                    raise ValueError(
+                        f"table {self.path} has non-unique _lsn "
+                        "(unique_lsn=false); the broadcast merge strategy "
+                        "is unsound for it"
+                    )
+                strategy = "window"
             if strategy == "auto":
                 n_rows = self._selected_row_estimate(m, sel)
                 strategy = (
@@ -730,6 +752,7 @@ class ManifestTable:
             "n_buckets": self.n_buckets,
             "key_cols": list(self.key_cols),
             "bucket_key": self.bucket_key,
+            "unique_lsn": self.unique_lsn,
             "stats": stats or {},
             "new_bucket_stats": bucket_stats,
             "total_commits": total + 1,

@@ -112,8 +112,73 @@ def test_recipe_params_are_pinned(spark, tmp_path):
         DedupIndex(spark, str(tmp_path / "idx"), n_hashes=4)
 
 
-def test_pair_bound_enforced(spark, tmp_path):
-    idx = DedupIndex(spark, str(tmp_path / "idx"), driver_pair_limit=2)
-    # 4 identical docs -> 6 intra pairs > bound of 2
-    with pytest.raises(RuntimeError, match="pair count exceeds"):
-        idx.add_batch(_docs(spark, [(i, T1) for i in range(4)]), "b1")
+def test_pair_bound_falls_back_to_distributed_fold(spark, tmp_path):
+    """Pair sets beyond the driver bound fold via the pure-DataFrame path
+    (label propagation over new pairs + affected-cluster member edges) —
+    and produce the SAME verdict as an unbounded driver fold."""
+    rows1 = [(1, T1), (2, T2), (3, T3)]
+    rows2 = [(10, T1), (11, T1), (12, T2), (13, T4)]
+
+    small = DedupIndex(spark, str(tmp_path / "small"), driver_pair_limit=1)
+    big = DedupIndex(spark, str(tmp_path / "big"))
+    for i, rows in enumerate([rows1, rows2]):
+        s_small = small.add_batch(_docs(spark, rows), f"b{i}")
+        s_big = big.add_batch(_docs(spark, rows), f"b{i}")
+        assert s_big["fold"] == "driver-union-find"
+    assert s_small["fold"] == "distributed-label-propagation"
+
+    got_small = sorted(tuple(r) for r in small.keep_list().collect())
+    got_big = sorted(tuple(r) for r in big.keep_list().collect())
+    assert got_small == got_big
+    verdict = dict((r[0], (r[1], r[2])) for r in got_small)
+    assert verdict[10] == (1, False) and verdict[11] == (1, False)  # dup T1
+    assert verdict[12] == (2, False) and verdict[13] == (13, True)
+
+
+def test_index_maintain_compacts_and_preserves_verdict(spark, tmp_path):
+    """Many small batches pile up one generation per batch; maintain() folds
+    them, reclaims files, and the keep-list is unchanged. The index tables
+    declare unique_lsn=False, so every merge (reads AND compaction) is
+    pinned to the window strategy — the broadcast join-back is refused."""
+    import os
+
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    texts = [T1, T2, T3, T4]
+    for b in range(5):
+        docs = _docs(spark, [(b * 10 + j, texts[(b + j) % 4]) for j in range(3)])
+        idx.add_batch(docs, f"b{b}")
+    before = sorted(tuple(r) for r in idx.keep_list().collect())
+    assert len(idx.bands.multi_gen_buckets(2)) > 0  # really multi-generation
+
+    def n_files(t):
+        return sum(
+            1 for _r, _d, fs in os.walk(os.path.join(t.path, "data"))
+            for f in fs if f.endswith(".parquet")
+        )
+
+    files_before = n_files(idx.bands)
+    out = idx.maintain(compact_threshold=2, vacuum_grace_sec=0)
+    assert out["bands"]["buckets_compacted"] > 0
+    assert out["bands"]["files_removed"] > 0
+    assert idx.bands.multi_gen_buckets(2) == []
+    assert n_files(idx.bands) < files_before
+    after = sorted(tuple(r) for r in idx.keep_list().collect())
+    assert after == before
+
+    # ...and the index still ingests correctly after maintenance
+    idx.add_batch(_docs(spark, [(100, T1)]), "b5")
+    v = {r["doc_id"]: r["cluster_id"] for r in idx.keep_list().collect()}
+    assert v[100] == min(i for i, c in v.items() if c == v[100])
+
+    # layout adoption covers unique_lsn too: a bare reopen (no args) adopts
+    # the flag, and a multi-generation read REFUSES the broadcast strategy.
+    # Re-ingesting existing doc ids guarantees a second generation lands in
+    # buckets that already hold their keys.
+    idx.add_batch(_docs(spark, [(0, texts[0]), (1, texts[1]), (2, texts[2])]), "b6")
+    t = ManifestTable(idx.clusters.path)
+    assert t.unique_lsn is False
+    assert len(t.multi_gen_buckets(2)) > 0
+    with pytest.raises(ValueError, match="unsound"):
+        t.read(spark, merge_strategy="broadcast").collect()

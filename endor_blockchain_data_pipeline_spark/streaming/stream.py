@@ -137,6 +137,58 @@ def stream_wal_fanout(
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def stream_documents_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    index,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming incremental corpus dedup: document batches dropped as
+    parquet dirs flow through ``DedupIndex.add_batch`` — each micro-batch
+    signatures ONLY itself, joins against the persisted band index, and
+    folds its pairs into the cluster labels. The same two exactly-once
+    layers as the CDC stream: the streaming checkpoint offers each file
+    once, and the index tables' batch registries absorb foreachBatch's
+    at-least-once re-delivery (a crash between the bands and clusters
+    commits heals on re-delivery). ``index.keep_list()`` is always the
+    whole corpus's current verdict.
+    """
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).option("recursiveFileLookup", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def apply_batch(micro: DataFrame, epoch_id: int) -> None:
+        if micro.isEmpty():
+            return
+        bounds = micro.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+            F.count("*").alias("n"),
+        ).first()
+        batch_id = (
+            f"stream-{epoch_id}-{int(bounds['lo'])}-{int(bounds['hi'])}"
+            f"-{int(bounds['n'])}"
+        )
+        index.add_batch(micro, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_wal_stream(
     spark: SparkSession, wal_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -242,3 +242,54 @@ def test_stream_fanout_three_sinks(spark, tmp_path):
     assert versions == (
         state_t.current_version(), tool_t.current_version(), stats_t.current_version()
     )
+
+
+def test_stream_documents_dedup_equals_oneshot(spark, tmp_path):
+    """Dropped document batches stream through the persisted dedup index;
+    the final keep-list equals the one-shot resolution over everything
+    streamed, and a checkpoint restart with no new drops commits nothing."""
+    from endor_blockchain_data_pipeline_spark.operators.dedup import (
+        dedup_resolution,
+        minhash_candidates,
+    )
+    from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
+        DedupIndex,
+    )
+    from endor_blockchain_data_pipeline_spark.streaming.stream import (
+        stream_documents_dedup,
+    )
+
+    TA = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    TB = "completely different content about distributed query engines and shuffles"
+    TC = "migratory birds navigate by starlight across continents every autumn"
+    docs_dir = str(tmp_path / "drops")
+    batch1 = [(1, TA), (2, TB)]
+    batch2 = [(10, TA), (11, TC)]  # 10 dups 1 across micro-batches
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            f"{docs_dir}/drop-{i}"
+        )
+
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    q = stream_documents_dedup(
+        spark, docs_dir, idx, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # force one drop per micro-batch
+    )
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    oneshot = dedup_resolution(
+        all_docs,
+        minhash_candidates(all_docs, "text", "doc_id", k_shingle=12, n_hashes=4, n_bands=2),
+    )
+    assert_df_equal(idx.keep_list(), oneshot)
+    v = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
+    assert v[10] == (1, False)  # cross-micro-batch dup caught
+
+    # restart over the same checkpoint: no new drops -> no new commits
+    n_commits = len(idx.clusters.committed_batches())
+    q2 = stream_documents_dedup(
+        spark, docs_dir, idx, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert len(idx.clusters.committed_batches()) == n_commits

@@ -295,6 +295,16 @@ if __name__ == "__main__":
         "OUT_DIR (doc_id, cluster_id, keep); prints the keep ratio",
     )
     ap.add_argument(
+        "--dedup-incremental",
+        default=None,
+        metavar="INDEX_DIR:DOCS_PARQUET:BATCH_ID",
+        help="incremental near-dedup mode: ingest ONE document batch into "
+        "the persisted MinHash band index at INDEX_DIR (created on first "
+        "use; signature recipe pinned there), dedup it against the index + "
+        "itself, fold the pairs into the stored cluster labels, and print "
+        "the corpus-wide keep ratio. Idempotent per BATCH_ID.",
+    )
+    ap.add_argument(
         "--feed",
         default=None,
         metavar="KIND:PATH",
@@ -307,6 +317,34 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     spark = get_spark("endor-cdc-job")
+    if args.dedup_incremental:
+        from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
+            DedupIndex,
+        )
+
+        parts = args.dedup_incremental.split(":")
+        if len(parts) != 3:
+            raise SystemExit("--dedup-incremental needs INDEX_DIR:DOCS_PARQUET:BATCH_ID")
+        index_dir, docs_path, batch_id = parts
+        t0 = time.time()
+        idx = DedupIndex(spark, index_dir)
+        stats = idx.add_batch(
+            spark.read.parquet(docs_path).select("doc_id", "text"), batch_id
+        )
+        keep = idx.keep_list()
+        agg = keep.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).first()
+        replay = stats["replayed_bands"] and stats["replayed_clusters"]
+        print(
+            f"dedup-incremental: batch {batch_id!r} "
+            f"{'REPLAY (skipped)' if replay else 'ingested'} "
+            f"via {stats.get('fold', 'replay')}; corpus now {agg['n']} docs, "
+            f"{agg['kept']} kept ({100 * agg['kept'] / max(agg['n'], 1):.1f}%) "
+            f"in {time.time() - t0:.1f}s; index at {index_dir}"
+        )
+        raise SystemExit(0)
     if args.dedup:
         from endor_blockchain_data_pipeline_spark.operators.dedup import (
             dedup_resolution,

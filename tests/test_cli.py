@@ -93,3 +93,42 @@ def test_cli_compact_and_vacuum_e2e(spark, tmp_path):
     # maintenance replay is idempotent
     out = run("--compact")
     assert "already committed" in out, out
+
+
+def test_cli_dedup_incremental_mode(spark, tmp_path):
+    """--dedup-incremental ingests batches into a persisted index across
+    separate process invocations; the combined verdict equals the one-shot
+    --dedup verdict over the same corpus, and replay is skipped."""
+    from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
+        DedupIndex,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    even, odd = str(tmp_path / "even"), str(tmp_path / "odd")
+    docs.where("doc_id % 2 = 0").write.parquet(even)
+    docs.where("doc_id % 2 = 1").write.parquet(odd)
+    idx_dir = str(tmp_path / "idx")
+
+    def run(path, bid):
+        r = subprocess.run(
+            [sys.executable, "-m", "endor_blockchain_data_pipeline_spark.job",
+             "--dedup-incremental", f"{idx_dir}:{path}:{bid}"],
+            capture_output=True, text=True, timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    assert "ingested" in run(even, "b-even")
+    assert "ingested" in run(odd, "b-odd")
+    assert "REPLAY (skipped)" in run(odd, "b-odd")  # idempotent across procs
+
+    from endor_blockchain_data_pipeline_spark.operators.dedup import (
+        dedup_resolution,
+        minhash_candidates,
+    )
+    from tests.conftest import assert_df_equal
+
+    oneshot = dedup_resolution(
+        docs, minhash_candidates(docs, "text", "doc_id", k_shingle=12, n_hashes=4, n_bands=2)
+    )
+    assert_df_equal(DedupIndex(spark, idx_dir).keep_list(), oneshot)

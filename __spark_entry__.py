@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for EVERY query (45/45 — hash-reproducible recipes
+DuckDB-equivalent SQL for EVERY query (48/48 — hash-reproducible recipes
 only: md5-derived randomness, decimal-exact sums, no HUGEINT/DECIMAL/array
 output types). Column names/aliases match exactly between both sides.
 
@@ -393,6 +393,46 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.length("text") < 50, 1).otherwise(0)).alias("n_short"),
         F.count_distinct("doc_id").alias("n_distinct_ids"),
+    )
+
+
+def q_conv_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassemble each conversation's transcript from the LWW state under
+    STABLE (turn_idx) ordering — the north rule's per-turn text-equality
+    invariant expressed as a query. array_sort over (turn_idx, ...) structs
+    gives a deterministic order inside one aggregation (no global sort);
+    turn_idx is unique per conversation post-LWW, so the ordering is total."""
+    st = q_lww_merge_state(spark, sf_dir)
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    return st.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.array_join(
+            F.transform(ordered, lambda x: F.concat(x["role"], F.lit(": "), x["text"])),
+            "\n",
+        ).alias("transcript"),
+    )
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: EXACT percentiles (sort-
+    based order statistics — deterministic at any parallelism, unlike any
+    FP-summation moment) — the corpus-profiling companion a curation
+    pipeline uses for cutoff decisions. approx_percentile is the 100-TB
+    variant (same query shape, sketch-merged); the exact form is what the
+    cross-engine gate can hash."""
+    d = _t(spark, sf_dir, "documents")
+    qarr = F.expr("percentile(length(text), array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        d.groupBy("lang")
+        .agg(qarr.alias("_q"), F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            F.element_at("_q", 1).alias("q25"),
+            F.element_at("_q", 2).alias("q50"),
+            F.element_at("_q", 3).alias("q75"),
+            F.element_at("_q", 4).alias("q95"),
+            "n_docs",
+        )
     )
 
 
@@ -994,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_totals": q_running_totals,
         "hash_split": q_hash_split,
         "corpus_profile": q_corpus_profile,
+        "length_quantiles": q_length_quantiles,
+        "conv_transcript": q_conv_transcript,
     }
 
 
@@ -1347,6 +1389,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN len(text) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
                    count(DISTINCT doc_id) AS n_distinct_ids
             FROM documents GROUP BY lang
+        """,
+        # Exact (interpolated) order statistics are engine-portable: both
+        # engines sort and apply the same (1-d)*lo + d*hi interpolation on
+        # the same integer lengths — probed bit-equal before shipping.
+        "length_quantiles": """
+            SELECT lang,
+                   quantile_cont(len(text), 0.25) AS q25,
+                   quantile_cont(len(text), 0.5)  AS q50,
+                   quantile_cont(len(text), 0.75) AS q75,
+                   quantile_cont(len(text), 0.95) AS q95,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "conv_transcript": f"""
+            WITH wal AS ({_SQL_WAL}),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC, ts DESC) AS rn
+              FROM wal),
+            state AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM ranked WHERE rn = 1 AND op <> 'delete')
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+                     AS transcript
+            FROM state GROUP BY conv_id
         """,
     }
 

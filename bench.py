@@ -90,6 +90,8 @@ HEADLINE = [
     "running_totals",
     "hash_split",
     "corpus_profile",
+    "length_quantiles",
+    "conv_transcript",
 ]
 
 

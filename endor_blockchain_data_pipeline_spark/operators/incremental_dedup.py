@@ -411,21 +411,49 @@ class DedupIndex:
     def _commit_batch(
         self, batch_id: str, new_bands: DataFrame, labels: DataFrame, stats: dict
     ) -> dict:
-        """Publish bands then cluster labels, each idempotent per batch id."""
+        """Publish bands then cluster labels, each idempotent per batch id.
+
+        The two STAGE passes (the heavy, fully-parallel file writes) run
+        concurrently — the tables are independent until their manifest
+        commits, the same pipelining discipline as the CDC job's MoR
+        staging; commits stay ordered (bands first) so a crash window
+        always leaves the pair-replay deterministic.
+        """
+        import concurrent.futures as _cf
+
         seq = self.bands.watermark() + 1
         stats = {**stats, "replayed_bands": False, "replayed_clusters": False}
-        if batch_id in self.bands.committed_batches():
-            stats["replayed_bands"] = True
-        else:
-            staged = self.bands.stage(
-                self._with_internals(new_bands, batch_id, seq), batch_id
+        do_bands = batch_id not in self.bands.committed_batches()
+        do_clusters = batch_id not in self.clusters.committed_batches()
+        with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+            fb = (
+                pool.submit(
+                    self.bands.stage,
+                    self._with_internals(new_bands, batch_id, seq),
+                    batch_id,
+                )
+                if do_bands
+                else None
             )
-            self.bands.commit_staged(staged, batch_id, seq, seq, None, mode="append")
-        if batch_id in self.clusters.committed_batches():
-            stats["replayed_clusters"] = True
-        else:
-            staged = self.clusters.stage(
-                self._with_internals(labels, batch_id, seq), batch_id
+            fc = (
+                pool.submit(
+                    self.clusters.stage,
+                    self._with_internals(labels, batch_id, seq),
+                    batch_id,
+                )
+                if do_clusters
+                else None
             )
-            self.clusters.commit_staged(staged, batch_id, seq, seq, None, mode="append")
+            if fb is not None:
+                self.bands.commit_staged(
+                    fb.result(), batch_id, seq, seq, None, mode="append"
+                )
+            else:
+                stats["replayed_bands"] = True
+            if fc is not None:
+                self.clusters.commit_staged(
+                    fc.result(), batch_id, seq, seq, None, mode="append"
+                )
+            else:
+                stats["replayed_clusters"] = True
         return stats

@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for EVERY query (48/48 — hash-reproducible recipes
+DuckDB-equivalent SQL for EVERY query (49/49 — hash-reproducible recipes
 only: md5-derived randomness, decimal-exact sums, no HUGEINT/DECIMAL/array
 output types). Column names/aliases match exactly between both sides.
 
@@ -471,6 +471,36 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return session_windows(
         _t(spark, sf_dir, "events"), key="user_id", ts_col="ts", gap="30 minutes"
+    )
+
+
+def q_range_join_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as a BINNED EQUI-JOIN: every 11th event probes "how many
+    user sessions (30-min gap) were open at my timestamp" — interval
+    containment start <= ts < end. The operator explodes intervals into
+    coarse time bins and hash-joins on the bin (+ exact post-filter), never
+    the O(P x R) BroadcastNestedLoop a bare range predicate plans to; the
+    oracle is DuckDB's plain theta join over the same sessions."""
+    from endor_blockchain_data_pipeline_spark.operators.temporal import (
+        range_join_binned,
+        session_windows,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = session_windows(ev, key="user_id", ts_col="ts", gap="30 minutes").select(
+        F.col("user_id").alias("s_user"), "session_start", "session_end"
+    )
+    probes = ev.where(F.col("event_id") % 11 == 0).select(
+        F.col("event_id").alias("probe_id"), "ts"
+    )
+    matched = range_join_binned(
+        probes, sessions,
+        ts_col="ts", start_col="session_start", end_col="session_end",
+        bin_width_sec=3600,
+    )
+    return matched.groupBy("probe_id").agg(
+        F.count("*").alias("n_open_sessions"),
+        F.countDistinct("s_user").alias("n_users"),
     )
 
 
@@ -1036,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "length_quantiles": q_length_quantiles,
         "conv_transcript": q_conv_transcript,
+        "range_join_concurrency": q_range_join_concurrency,
     }
 
 
@@ -1415,6 +1446,36 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
                      AS transcript
             FROM state GROUP BY conv_id
+        """,
+        # plain theta join is the oracle; the Spark side must reach the same
+        # matches through its binned equi-join + exact post-filter
+        "range_join_concurrency": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked),
+            sessions AS (
+              SELECT user_id AS s_user,
+                     min(ts) AS session_start,
+                     max(ts) + INTERVAL 30 MINUTE AS session_end
+              FROM sess GROUP BY user_id, sid),
+            probes AS (
+              SELECT event_id AS probe_id, ts
+              FROM events WHERE event_id % 11 = 0)
+            SELECT p.probe_id,
+                   count(*) AS n_open_sessions,
+                   count(DISTINCT s.s_user) AS n_users
+            FROM probes p JOIN sessions s
+              ON s.session_start <= p.ts AND p.ts < s.session_end
+            GROUP BY p.probe_id
         """,
     }
 

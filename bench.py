@@ -92,6 +92,7 @@ HEADLINE = [
     "corpus_profile",
     "length_quantiles",
     "conv_transcript",
+    "range_join_concurrency",
 ]
 
 

@@ -91,6 +91,51 @@ def asof_join(
     )
 
 
+def range_join_binned(
+    probes: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_width_sec: int = 3600,
+) -> DataFrame:
+    """Range join — probe rows matched to every interval containing their
+    timestamp (``start <= ts < end``) — as a BINNED EQUI-JOIN.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin: O(P x R)
+    comparisons and a broadcast of a whole side — the classic range-join
+    trap. The scale-safe rewrite: explode each interval into the coarse
+    time bins it overlaps (``sequence(floor(start/W), floor(end/W))`` —
+    fan-out bounded by duration/W + 1), bin each probe once, equi-join on
+    the bin (ordinary shuffled/broadcast hash join, prunable, skew-aware
+    via AQE), and apply the exact range predicate as a post-filter. Every
+    (probe, interval) match shares exactly the probe's single bin, so no
+    dedup step is needed; the inclusive bin bound costs a few extra
+    candidate pairs at the boundary, never correctness.
+
+    ``bin_width_sec`` trades interval fan-out (long intervals -> many bins)
+    against candidate precision (wide bins -> more filtered pairs); set it
+    near the typical interval length. Timestamp columns may be timestamps
+    or epoch-second longs; output = all probe columns + all interval
+    columns (callers aggregate as needed).
+    """
+
+    p_epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    s_epoch = F.col(start_col).cast("timestamp_ltz").cast("long")
+    e_epoch = F.col(end_col).cast("timestamp_ltz").cast("long")
+    w = int(bin_width_sec)
+
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(s_epoch / w), F.floor(e_epoch / w))),
+    )
+    pr = probes.withColumn("_bin", F.floor(p_epoch / w))
+    joined = pr.join(iv, "_bin").where(
+        (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bin")
+
+
 def session_windows(
     events: DataFrame,
     key: str = "user_id",

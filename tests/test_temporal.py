@@ -110,3 +110,68 @@ def test_session_windows_gap_semantics(spark):
         (1, _ts(11, 50), _ts(12, 20), 1),
         (2, _ts(9, 0), _ts(9, 30), 1),
     ]
+
+
+def test_range_join_binned_matches_theta_join(spark):
+    """Binned equi-join + exact filter == the naive theta join, including
+    boundary semantics (start inclusive, end exclusive) and intervals that
+    span many bins; and the plan is a hash join on the bin, never the
+    O(PxR) BroadcastNestedLoop a bare range predicate produces."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from endor_blockchain_data_pipeline_spark.operators.temporal import (
+        range_join_binned,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    intervals = spark.createDataFrame(
+        [
+            (1, t(0), t(60)),      # exactly one hour
+            (2, t(30), t(300)),    # spans many 1-hour bins
+            (3, t(90), t(91)),     # sliver inside one bin
+            (4, t(60), t(120)),    # starts exactly at a bin boundary
+        ],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    probes = spark.createDataFrame(
+        [(i, t(m)) for i, m in enumerate([0, 30, 59, 60, 90, 119, 120, 299, 300])],
+        "probe_id long, ts timestamp",
+    )
+
+    got = {
+        (r["probe_id"], r["iv_id"])
+        for r in range_join_binned(
+            probes, intervals, "ts", "start", "end", bin_width_sec=3600
+        ).collect()
+    }
+    naive = {
+        (r["probe_id"], r["iv_id"])
+        for r in probes.join(
+            intervals, (F.col("start") <= F.col("ts")) & (F.col("ts") < F.col("end"))
+        ).collect()
+    }
+    assert got == naive
+    # spot-check the boundary rules: ts==start matches, ts==end does not
+    assert (3, 4) in got and (3, 1) not in got  # t(60): iv4 starts, iv1 ended
+    assert (8, 2) not in got  # t(300) == iv2.end -> excluded
+    assert (4, 2) in got and (4, 3) in got
+
+    plan = (
+        range_join_binned(probes, intervals, "ts", "start", "end", 3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    naive_plan = (
+        probes.join(
+            intervals, (F.col("start") <= F.col("ts")) & (F.col("ts") < F.col("end"))
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    # what we're avoiding: Spark plans a bare range predicate as an
+    # all-pairs join (nested-loop or cartesian, depending on sizes)
+    assert "BroadcastNestedLoopJoin" in naive_plan or "CartesianProduct" in naive_plan

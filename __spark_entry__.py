@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship CDC LWW-merge query at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for EVERY query (49/49 — hash-reproducible recipes
+DuckDB-equivalent SQL for EVERY query (51/51 — hash-reproducible recipes
 only: md5-derived randomness, decimal-exact sums, no HUGEINT/DECIMAL/array
 output types). Column names/aliases match exactly between both sides.
 
@@ -471,6 +471,53 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return session_windows(
         _t(spark, sf_dir, "events"), key="user_id", ts_col="ts", gap="30 minutes"
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per user (k=64 minimum md5_long hashes):
+    unlike HLL (approx_count_distinct), the estimator is pure order
+    statistics over a pinned portable hash, so the APPROXIMATION itself is
+    bit-reproducible in DuckDB and hash-gated. The exact count rides along
+    so the sketch's error is visible, not trusted."""
+    from endor_blockchain_data_pipeline_spark.functions.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_distinct(ev, ["user_id"], "props", k=64)
+    exact = ev.groupBy("user_id").agg(F.count_distinct("props").alias("n_exact"))
+    return est.join(exact, "user_id")
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous time-bucketed aggregate (hypertable rollup): the events
+    stream arrives as two batch slices, each contributing one PARTIAL
+    (hour-bucket, event_type) generation to a persisted rollup table;
+    reads fold the additive partials by SUM (merge_strategy='none', never
+    LWW). The oracle is the plain one-shot GROUP BY — the fold must equal
+    it whatever the batch split."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from endor_blockchain_data_pipeline_spark.operators.rollup import (
+        ContinuousAggregate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    root = _tempfile.mkdtemp(
+        prefix="endor-carollup-",
+        dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+    )
+    ca = ContinuousAggregate(
+        spark, root, bucket_width="1 hour", dims=("event_type",),
+        ts_col="ts", value_col="value",
+    )
+    ca.apply_batch(ev.where(F.col("event_id") % 2 == 0), "h-even")
+    ca.apply_batch(ev.where(F.col("event_id") % 2 == 1), "h-odd")
+    return ca.read().select(
+        "bucket_start",
+        "event_type",
+        "n",
+        F.col("sum_val").cast("double").alias("sum_val"),
     )
 
 
@@ -981,6 +1028,19 @@ _SQL_LSH_PAIRS_CTES = """
 """
 
 
+def _build_kmv_sql() -> str:
+    """DuckDB mirror of q_kmv_distinct: the shared kmv_sql estimator joined
+    with the exact distinct count."""
+    from endor_blockchain_data_pipeline_spark.functions.sketch import kmv_sql
+
+    return f"""
+        SELECT e.user_id, e.est_distinct, x.n_exact
+        FROM ({kmv_sql("user_id", "props", "events", k=64)}) e
+        JOIN (SELECT user_id, count(DISTINCT props) AS n_exact
+              FROM events GROUP BY user_id) x USING (user_id)
+    """
+
+
 # One-shot near-dup keep-list (LSH pairs -> recursive min-label CC -> per-doc
 # verdict). Shared by the dup_clusters oracle AND the incremental_dedup
 # oracle: the incremental fold must reproduce the one-shot result exactly.
@@ -1067,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "conv_transcript": q_conv_transcript,
         "range_join_concurrency": q_range_join_concurrency,
+        "hypertable_rollup": q_hypertable_rollup,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1477,6 +1539,14 @@ def oracle_sql() -> dict[str, str]:
               ON s.session_start <= p.ts AND p.ts < s.session_end
             GROUP BY p.probe_id
         """,
+        # the one-shot GROUP BY the incremental partial-fold must equal
+        "hypertable_rollup": """
+            SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+            FROM events GROUP BY 1, 2
+        """,
+        "kmv_distinct": _build_kmv_sql(),
     }
 
 

@@ -93,6 +93,8 @@ HEADLINE = [
     "length_quantiles",
     "conv_transcript",
     "range_join_concurrency",
+    "hypertable_rollup",
+    "kmv_distinct",
 ]
 
 

@@ -1,0 +1,86 @@
+"""KMV (K-minimum-values) distinct-count sketch — portable & deterministic.
+
+The classic order-statistics cardinality estimator (Bar-Yossef et al. '02):
+hash every value into [0, 2^60) and keep each group's k smallest DISTINCT
+hashes; if the k-th smallest is ``kth``, the group's cardinality estimate
+is ``(k-1) * 2^60 / kth`` (uniform order statistics: the k-th minimum of n
+uniform draws sits near k/n of the range). Groups with fewer than k
+distinct values report their EXACT count (the sketch saw everything).
+
+Why this sketch here, when Spark ships HLL++ (``approx_count_distinct``):
+HLL sketches are engine-internal — their estimates can't be reproduced by
+another engine, so they can never pass a cross-engine correctness gate.
+KMV is pure order statistics over a pinned hash (the md5_long recipe used
+throughout this engine), so Spark and DuckDB produce the IDENTICAL
+estimate bit-for-bit — a sketch whose approximation is itself testable.
+Standard error is ~1/sqrt(k-2) (~13% at k=64); in production HLL++ remains
+the cheapest option when portability doesn't matter, and the driver query
+reports the exact count alongside so the error is visible, not trusted.
+
+Scale shape: distinct (group, hash) is one map-side-combining shuffle;
+the per-group k-smallest selection is a window over the DISTINCT hashes
+(one shuffle + per-group sort of distinct values, k rows kept). No
+collect, no per-group memory beyond the sort spill machinery.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# Hash domain: md5_long = first 60 md5 bits as BIGINT (lowercase-hex order
+# == numeric order), the engine's standard portable hash.
+KMV_SPACE = float(2**60)
+
+
+def md5_long_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV cardinality estimate: (group_cols..., est_distinct).
+
+    ``est_distinct`` is a double — exact count (as double) for groups with
+    < k distinct values, else the (k-1)*SPACE/kth estimator rounded to 2dp
+    (both engines compute the identical IEEE expression).
+    """
+    d = df.select(*group_cols, md5_long_expr(value_col).alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = kept.groupBy(*group_cols).agg(
+        F.count("*").alias("_n_seen"), F.max("_h").alias("_kth")
+    )
+    est = F.when(
+        F.col("_n_seen") < k, F.col("_n_seen").cast("double")
+    ).otherwise(
+        F.round(F.lit((k - 1) * KMV_SPACE) / F.col("_kth").cast("double"), 2)
+    )
+    return agg.select(*group_cols, est.alias("est_distinct"))
+
+
+def kmv_sql(group_col: str, value_col: str, table: str, k: int = 64) -> str:
+    """The DuckDB mirror of ``kmv_distinct`` (same hash, same estimator)."""
+    return f"""
+        WITH d AS (
+          SELECT DISTINCT {group_col},
+                 ('0x' || substr(md5({value_col}), 1, 15))::BIGINT AS h
+          FROM {table}),
+        r AS (
+          SELECT {group_col}, h,
+                 row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+          FROM d),
+        t AS (
+          SELECT {group_col}, count(*) AS n_seen, max(h) AS kth
+          FROM r WHERE rn <= {k} GROUP BY {group_col})
+        SELECT {group_col},
+               CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+                    ELSE round(({k - 1} * {KMV_SPACE!r}) / CAST(kth AS DOUBLE), 2)
+               END AS est_distinct
+        FROM t
+    """

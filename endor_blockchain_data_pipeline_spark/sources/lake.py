@@ -365,7 +365,11 @@ class ManifestTable:
           schema (``coerce_to_declared`` — e.g. a ``date`` reader over
           ``timestamp`` files truncates instead of erroring). Applied after
           the internal-column drop; user-facing columns only.
-        - ``merge_strategy``: how multi-generation (MoR) buckets LWW-merge:
+        - ``merge_strategy``: how multi-generation (MoR) buckets LWW-merge.
+          ``"none"`` skips the generation merge entirely and returns EVERY
+          generation's rows — for tables whose rows are additive partial
+          aggregates (continuous rollups) where the caller folds by SUM,
+          not last-writer-wins. Other values:
           ``"broadcast"`` — narrow max(_lsn) winner set broadcast-joined back
           (fast, zero sort; ONLY safe while the winner set fits an executor);
           ``"window"`` — row_number per key over (_lsn desc): one shuffle of
@@ -398,7 +402,7 @@ class ManifestTable:
             df = df.where(F.col("_batch").isin(batch_ids))
         if exclude_batch_ids is not None:
             df = df.where(~F.col("_batch").isin(exclude_batch_ids))
-        if merge_buckets:
+        if merge_buckets and merge_strategy != "none":
             key_cols = list(m.get("key_cols", self.key_cols))
             strategy = merge_strategy
             if not bool(m.get("unique_lsn", True)):

@@ -462,3 +462,29 @@ def test_materialize_switches_to_reliable_checkpoint(spark, tmp_path):
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
     )
     assert "RELIABLE_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_kmv_sketch_accuracy_and_exact_small_groups(spark):
+    """KMV: groups under k report EXACT counts; groups far over k estimate
+    within the sketch's expected error (~1/sqrt(k-2), generous bound 4x);
+    and the estimate is identical across partitionings (deterministic)."""
+    import pyspark.sql.functions as F
+
+    from endor_blockchain_data_pipeline_spark.functions.sketch import kmv_distinct
+
+    df = spark.range(0, 60000).select(
+        (F.col("id") % 3).alias("grp"),
+        F.when(F.col("id") % 3 == 0, F.concat(F.lit("v"), (F.col("id") % 30).cast("string")))
+        .otherwise(F.concat(F.lit("w"), F.col("id").cast("string")))
+        .alias("val"),
+    )
+    got = {r["grp"]: r["est_distinct"] for r in kmv_distinct(df, ["grp"], "val", k=64).collect()}
+    assert got[0] == 10.0  # multiples of 3 mod 30 -> 10 distinct, < k -> exact
+    for g in (1, 2):
+        true = 20000
+        assert abs(got[g] - true) / true < 4 / (62 ** 0.5)  # ~0.5 generous
+    again = {
+        r["grp"]: r["est_distinct"]
+        for r in kmv_distinct(df.repartition(13), ["grp"], "val", k=64).collect()
+    }
+    assert again == got

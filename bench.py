@@ -138,6 +138,34 @@ def run_queries() -> dict[str, float]:
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     out["minhash_signatures_xxhash64"] = round(best, 3)
+    # The engine-native SKETCH variants timed next to their portable twins,
+    # same bench-local rationale as xxhash64 (HLL/t-digest estimates are
+    # engine-internal, so they can never have an oracle row; the exact /
+    # KMV queries keep those):
+    # - approx_percentile (t-digest) vs length_quantiles' exact sort;
+    # - approx_count_distinct (HLL++) vs kmv_distinct's order statistics.
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    approx_variants = {
+        "length_quantiles_approx": lambda: docs.groupBy("lang").agg(
+            F.expr(
+                "approx_percentile(length(text), array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("q"),
+            F.count("*").alias("n_docs"),
+        ),
+        "kmv_distinct_hll": lambda: ev.groupBy("user_id").agg(
+            F.approx_count_distinct("props").alias("est_distinct")
+        ),
+    }
+    for name, make in approx_variants.items():
+        best = None
+        for _ in range(max(REPS, 1)):
+            t0 = time.time()
+            _materialize(make())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     # ANN quality next to ANN latency: recall@10 of the two approximate
     # paths against the exact brute-force ranking (same query vector).
     exact = {r["vec_id"] for r in qs["ann_topk"](spark, SF_DIR).collect()}

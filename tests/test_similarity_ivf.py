@@ -152,3 +152,29 @@ def test_ivf_train_lloyd_empty_bucket_keeps_previous_centroid(spark):
     cents = ivf_train_lloyd(emb2, [0, 5], iters=2)
     got = dict(cents)
     assert got[5] == [2.0, 0.0, 0.0]  # unchanged: bucket stayed empty
+
+
+def test_ivf_trained_centroids_with_materialized_index(spark, emb, tmp_path):
+    """Lloyd-trained centroids compose with the materialized inverted file:
+    write the index under trained assignments, probe via partition pruning,
+    and match the inline trained-path answer exactly."""
+    from endor_blockchain_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_train_lloyd,
+        ivf_write_index,
+    )
+
+    cents = ivf_train_lloyd(emb, [0, 1, 2], iters=2)
+    path = str(tmp_path / "ivf_trained")
+    ivf_write_index(emb, path, cents)
+
+    q = [1.0, 0.05, 0.0, 0.0]
+    inline = {
+        (r["vec_id"], r["cos_sim"], r["rank"])
+        for r in ivf_topk(emb, q, cents, k=5, n_probe=2).collect()
+    }
+    indexed_df = ivf_topk_indexed(spark, path, q, cents, k=5, n_probe=2)
+    assert {(r["vec_id"], r["cos_sim"], r["rank"]) for r in indexed_df.collect()} == inline
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan  # probe = partition pruning

@@ -441,6 +441,12 @@ def compact_buckets(
     """
     if not buckets:
         return None
+    if getattr(table, "semantics", "lww") != "lww":
+        raise ValueError(
+            f"table {table.path} has {table.semantics!r} semantics: LWW "
+            "compaction would discard partial-aggregate rows — use the "
+            "owning operator's compaction (e.g. ContinuousAggregate.compact)"
+        )
     if batch_id in table.committed_batches():
         return None
     merged = table.read(spark, buckets=buckets, with_internal=True).withColumn(
@@ -460,6 +466,12 @@ def compact(table: ManifestTable, spark, batch_id: str) -> dict:
     every tombstone's LSN); restores minimal storage. Commits a snapshot
     replacing ALL buckets; follow with ``table.vacuum()`` to reclaim files.
     """
+    if getattr(table, "semantics", "lww") != "lww":
+        raise ValueError(
+            f"table {table.path} has {table.semantics!r} semantics: LWW "
+            "compaction would discard partial-aggregate rows — use the "
+            "owning operator's compaction (e.g. ContinuousAggregate.compact)"
+        )
     live = table.read(spark, with_internal=True).where(~F.col("_deleted"))
     return table.commit(
         live, batch_id=batch_id,

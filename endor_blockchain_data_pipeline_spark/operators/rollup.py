@@ -56,12 +56,16 @@ class ContinuousAggregate:
         # unique_lsn=False: rows stamp a per-batch sequence; additive reads
         # use merge_strategy="none" anyway, but a stray default read must
         # never LWW-broadcast on duplicated lsns.
+        # semantics="additive": the table itself knows its rows are partial
+        # aggregates — ANY reader's auto merge becomes "none" (fold, don't
+        # LWW) and the generic LWW compaction paths refuse it outright.
         self.table = ManifestTable(
             path,
             n_buckets=n_buckets,
             key_cols=("bucket_start", *self.dims),
             bucket_key="bucket_start",
             unique_lsn=False,
+            semantics="additive",
         )
 
     def _partial(self, events: DataFrame) -> DataFrame:

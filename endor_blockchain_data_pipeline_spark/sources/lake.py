@@ -179,6 +179,7 @@ class ManifestTable:
         key_cols: tuple[str, ...] | None = None,
         bucket_key: str | None = None,
         unique_lsn: bool | None = None,
+        semantics: str | None = None,
     ) -> None:
         self.path = path
         # Remember which layout params the CALLER pinned: on reopen of an
@@ -192,6 +193,7 @@ class ManifestTable:
             "key_cols": key_cols is not None,
             "bucket_key": bucket_key is not None,
             "unique_lsn": unique_lsn is not None,
+            "semantics": semantics is not None,
         }
         self.n_buckets = self.DEFAULT_N_BUCKETS if n_buckets is None else int(n_buckets)
         self.key_cols = tuple(key_cols) if key_cols is not None else self.DEFAULT_KEY_COLS
@@ -203,6 +205,14 @@ class ManifestTable:
         # Persisted in the manifest like the rest of the layout — a reader
         # cannot opt into a merge strategy that is unsound for the table.
         self.unique_lsn = True if unique_lsn is None else bool(unique_lsn)
+        # Merge semantics are part of the TABLE, like the bucket layout:
+        # "lww" rows supersede per key (the CDC default); "additive" rows
+        # are partial aggregates that FOLD by SUM — an LWW merge (read or
+        # compaction) over additive rows silently discards partials, so
+        # both paths refuse it. Persisted + adopted with the layout.
+        if semantics is not None and semantics not in ("lww", "additive"):
+            raise ValueError(f"unknown table semantics {semantics!r}")
+        self.semantics = semantics if semantics is not None else "lww"
         self._manifest_dir = os.path.join(path, "_manifests")
         self._data_dir = os.path.join(path, "data")
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -223,6 +233,7 @@ class ManifestTable:
             "key_cols": tuple(m.get("key_cols", self.key_cols)),
             "bucket_key": m.get("bucket_key", self.bucket_key),
             "unique_lsn": bool(m.get("unique_lsn", self.unique_lsn)),
+            "semantics": m.get("semantics", self.semantics),
         }
         for name, val in stored.items():
             cur = getattr(self, name)
@@ -402,6 +413,14 @@ class ManifestTable:
             df = df.where(F.col("_batch").isin(batch_ids))
         if exclude_batch_ids is not None:
             df = df.where(~F.col("_batch").isin(exclude_batch_ids))
+        if m.get("semantics", "lww") == "additive" and merge_strategy != "none":
+            if merge_strategy in ("broadcast", "window"):
+                raise ValueError(
+                    f"table {self.path} is ADDITIVE (partial aggregates): "
+                    "an LWW merge would discard partials; read with "
+                    'merge_strategy="none" and fold'
+                )
+            merge_strategy = "none"  # auto on additive tables: no merge
         if merge_buckets and merge_strategy != "none":
             key_cols = list(m.get("key_cols", self.key_cols))
             strategy = merge_strategy
@@ -757,6 +776,7 @@ class ManifestTable:
             "key_cols": list(self.key_cols),
             "bucket_key": self.bucket_key,
             "unique_lsn": self.unique_lsn,
+            "semantics": self.semantics,
             "stats": stats or {},
             "new_bucket_stats": bucket_stats,
             "total_commits": total + 1,

@@ -495,20 +495,14 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads fold the additive partials by SUM (merge_strategy='none', never
     LWW). The oracle is the plain one-shot GROUP BY — the fold must equal
     it whatever the batch split."""
-    import os as _os
-    import tempfile as _tempfile
-
     from endor_blockchain_data_pipeline_spark.operators.rollup import (
         ContinuousAggregate,
     )
 
     ev = _t(spark, sf_dir, "events")
-    root = _tempfile.mkdtemp(
-        prefix="endor-carollup-",
-        dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
-    )
     ca = ContinuousAggregate(
-        spark, root, bucket_width="1 hour", dims=("event_type",),
+        spark, _fresh_scratch("carollup", sf_dir),
+        bucket_width="1 hour", dims=("event_type",),
         ts_col="ts", value_col="value",
     )
     ca.apply_batch(ev.where(F.col("event_id") % 2 == 0), "h-even")
@@ -562,6 +556,29 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant one-row lookup job inside the timed region (r3 VERDICT wrong-#3).
 _QVEC_CACHE: dict[str, list[float]] = {}
 _CENTROID_CACHE: dict[str, list] = {}
+# Scratch roots for queries that persist state (dedup index, rollup). Each
+# call gets a FRESH root — so bench reps honestly measure ingest, not a
+# replay skip — and the PREVIOUS call's root is reclaimed (its result has
+# been consumed by then in every harness), bounding tmpfs to one live tree
+# per (query, sf_dir) instead of leaking one per invocation.
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def _fresh_scratch(kind: str, sf_dir: str) -> str:
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    key = f"{kind}:{sf_dir}"
+    old = _SCRATCH_DIRS.pop(key, None)
+    if old:
+        _shutil.rmtree(old, ignore_errors=True)
+    root = _tempfile.mkdtemp(
+        prefix=f"endor-{kind}-",
+        dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+    )
+    _SCRATCH_DIRS[key] = root
+    return root
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -700,19 +717,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (+ intra-batch), folding new pairs into the persisted cluster labels.
     The final keep-list must equal the one-shot resolution over the whole
     corpus — which is exactly what the oracle computes."""
-    import os as _os
-    import tempfile as _tempfile
-
     from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
         DedupIndex,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = _tempfile.mkdtemp(
-        prefix="endor-incdedup-",
-        dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
-    )
-    idx = DedupIndex(spark, root)  # k_shingle=12, n_hashes=4, n_bands=2, md5_long
+    idx = DedupIndex(
+        spark, _fresh_scratch("incdedup", sf_dir)
+    )  # k_shingle=12, n_hashes=4, n_bands=2, md5_long
     idx.add_batch(d.where(F.col("doc_id") % 2 == 0), "b-even")
     idx.add_batch(d.where(F.col("doc_id") % 2 == 1), "b-odd")
     return idx.keep_list()

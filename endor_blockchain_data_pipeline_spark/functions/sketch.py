@@ -50,7 +50,14 @@ def kmv_distinct(
     < k distinct values, else the (k-1)*SPACE/kth estimator rounded to 2dp
     (both engines compute the identical IEEE expression).
     """
-    d = df.select(*group_cols, md5_long_expr(value_col).alias("_h")).distinct()
+    # NULL values carry no hash and must not occupy a top-k slot (Spark's
+    # window would sort the NULL first, DuckDB's last — divergent AND wrong:
+    # count_distinct ignores NULLs, so must the sketch).
+    d = (
+        df.select(*group_cols, md5_long_expr(value_col).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("_h")
     kept = d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     agg = kept.groupBy(*group_cols).agg(
@@ -70,7 +77,7 @@ def kmv_sql(group_col: str, value_col: str, table: str, k: int = 64) -> str:
         WITH d AS (
           SELECT DISTINCT {group_col},
                  ('0x' || substr(md5({value_col}), 1, 15))::BIGINT AS h
-          FROM {table}),
+          FROM {table} WHERE {value_col} IS NOT NULL),
         r AS (
           SELECT {group_col}, h,
                  row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn

@@ -334,7 +334,8 @@ if __name__ == "__main__":
         keep = idx.keep_list()
         agg = keep.agg(
             F.count("*").alias("n"),
-            F.sum(F.col("keep").cast("long")).alias("kept"),
+            # coalesce: SUM over zero rows is NULL (empty first batch)
+            F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias("kept"),
         ).first()
         replay = stats["replayed_bands"] and stats["replayed_clusters"]
         print(

@@ -210,6 +210,20 @@ class DedupIndex:
         index EXCLUDING this batch id, making replay deterministic whether
         or not the bands commit already landed.
         """
+        if (
+            batch_id in self.bands.committed_batches()
+            and batch_id in self.clusters.committed_batches()
+        ):
+            # Fully-committed replay: skip the signature/pair/fold compute
+            # entirely — O(1), matching what the skip message promises. A
+            # PARTIAL replay (bands landed, clusters didn't) still recomputes
+            # below, deterministically, to finish the crashed fold.
+            return {
+                "batch_id": batch_id,
+                "fold": "replay",
+                "replayed_bands": True,
+                "replayed_clusters": True,
+            }
         id_col = self.id_col
         p = self.params
         new_bands = materialize(
@@ -421,7 +435,12 @@ class DedupIndex:
         """
         import concurrent.futures as _cf
 
-        seq = self.bands.watermark() + 1
+        # Sequence over BOTH tables' watermarks: deriving from bands alone
+        # would, after a crash between the two commits, give the replayed
+        # clusters generation the same (_lsn, _mts) as the NEXT batch's —
+        # and the window merge's (_lsn desc, _mts desc) order would then
+        # tie-break arbitrarily between stale and fresh labels.
+        seq = max(self.bands.watermark(), self.clusters.watermark()) + 1
         stats = {**stats, "replayed_bands": False, "replayed_clusters": False}
         do_bands = batch_id not in self.bands.committed_batches()
         do_clusters = batch_id not in self.clusters.committed_batches()

@@ -541,7 +541,14 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         if b[:2] == b"BM":
             return _decode_bmp_features(b)
         if b[:8] == b"\x89PNG\r\n\x1a\n":
-            return _decode_png_features(b)
+            # The PNG magic matches variants the stdlib decoder rejects
+            # (palette / 16-bit / interlaced / truncated); those degrade to
+            # the byte-statistics stub like any other unsupported codec —
+            # one odd blob must never abort a corpus-wide feature pass.
+            try:
+                return _decode_png_features(b)
+            except Exception:
+                return _decode_image_stub(b)
         return _decode_image_stub(b)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

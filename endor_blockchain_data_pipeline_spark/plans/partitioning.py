@@ -66,10 +66,22 @@ def parallelize_for_fanout(df: DataFrame, min_partitions: int | None = None) -> 
     raw = df.sparkSession.conf.get(
         "spark.sql.files.maxPartitionBytes", "134217728b"
     ).lower().removesuffix("b")
-    mult = {"k": 1024, "m": 1024**2, "g": 1024**3}.get(raw[-1:], 1)
+    mult = {
+        "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5
+    }.get(raw[-1:], 1)
     max_bytes = int(raw[:-1] if mult != 1 else raw) * mult
+    files = df.inputFiles()
+    if not files:
+        # No stat-able leaves (in-memory relation, checkpointed plan): such
+        # plans carry no AQE file-scan exchanges to accidentally
+        # materialize, so the partition-count probe is safe — and it stops
+        # us re-shuffling a checkpointed DF that is ALREADY wider than the
+        # target.
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
     total = 0
-    for uri in df.inputFiles():
+    for uri in files:
         path = uri[len("file:"):] if uri.startswith("file:") else uri
         try:
             total += os.path.getsize(path)

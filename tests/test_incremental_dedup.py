@@ -72,10 +72,7 @@ def test_cluster_merge_and_canonical_flip_across_batches(spark, tmp_path):
     verdict = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
     assert verdict[5] == (5, True)
     assert verdict[20] == (5, False)  # re-labeled: canonical moved to 5
-    assert verdict[6] == (6, False) and verdict[30] == (6, False) or (
-        verdict[6] == (6, True) and verdict[30] == (6, False)
-    )
-    # exact statement: min(6,30)=6 is canonical
+    # min(6,30)=6 is the T4 cluster's canonical
     assert verdict[30] == (6, False) and verdict[6] == (6, True)
 
     # equality with one-shot over the union of all three batches
@@ -182,3 +179,44 @@ def test_index_maintain_compacts_and_preserves_verdict(spark, tmp_path):
     assert len(t.multi_gen_buckets(2)) > 0
     with pytest.raises(ValueError, match="unsound"):
         t.read(spark, merge_strategy="broadcast").collect()
+
+
+def test_crash_between_commits_keeps_label_lsns_monotonic(spark, tmp_path):
+    """Crash after the bands commit but before the clusters commit, then
+    replay and keep ingesting: the replayed clusters generation must NOT
+    share its (_lsn, _mts) with the next batch's (the seq must advance over
+    BOTH tables' watermarks) — a shared stamp would let the window merge
+    tie-break arbitrarily between stale and fresh labels."""
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(_docs(spark, [(20, T1), (21, T2)]), "b1")
+
+    orig = idx.clusters.commit_staged
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before clusters commit")
+    idx.clusters.commit_staged = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.add_batch(_docs(spark, [(30, T1)]), "b2")  # 30 dups 20
+    idx.clusters.commit_staged = orig
+
+    s = idx.add_batch(_docs(spark, [(30, T1)]), "b2")  # replay heals
+    assert s["replayed_bands"] and not s["replayed_clusters"]
+
+    # b3 re-labels the whole T1 cluster to the new min id 5
+    idx.add_batch(_docs(spark, [(5, T1)]), "b3")
+    verdict = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
+    assert verdict[5] == (5, True)
+    assert verdict[20] == (5, False) and verdict[30] == (5, False)
+
+    # every doc's label generations carry DISTINCT _lsn stamps — the merge
+    # can never face a (lsn, mts) tie between generations
+    raw = idx.clusters.read(spark, with_internal=True, merge_strategy="none")
+    dup_stamps = (
+        raw.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("_lsn").alias("n_lsn"),
+        )
+        .where(F.col("n_rows") != F.col("n_lsn"))
+        .count()
+    )
+    assert dup_stamps == 0

@@ -189,6 +189,55 @@ def stream_documents_dedup(
     )
 
 
+def stream_continuous_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    rollup,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming hypertable rollup: dropped event batches flow through
+    ``ContinuousAggregate.apply_batch`` — each micro-batch appends ONE
+    additive partial-aggregate generation under an epoch-qualified batch
+    id, so the rollup stays current at O(micro-batch) cost and
+    ``rollup.read()`` answers at any moment. Exactly-once composes the same
+    way as every foreachBatch sink here: checkpointed file offsets x the
+    rollup table's batch registry (re-delivered epochs skip)."""
+    sch = schema or T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    reader = spark.readStream.schema(sch).option("recursiveFileLookup", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
+
+    def apply_batch(micro: DataFrame, epoch_id: int) -> None:
+        if micro.isEmpty():
+            return
+        bounds = micro.agg(
+            F.min("event_id").alias("lo"), F.max("event_id").alias("hi"),
+            F.count("*").alias("n"),
+        ).first()
+        batch_id = (
+            f"stream-{epoch_id}-{int(bounds['lo'])}-{int(bounds['hi'])}"
+            f"-{int(bounds['n'])}"
+        )
+        rollup.apply_batch(micro, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_wal_stream(
     spark: SparkSession, wal_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -223,11 +223,18 @@ def q_isin_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "val2", F.when(F.col("value") < 5, None).otherwise(F.col("value"))
+    """P2/P6/P7 consolidated: ``na.drop`` on the required column, then
+    ``na.fill`` defaults on the optional one, then the grouped rollup
+    (TokenRatesAggregationDriver.scala:92). One query so the driver gate
+    covers both null-handling paths in a single row."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("val2"),
     )
-    filled = ev.na.fill({"val2": 0.0})
-    return filled.groupBy("event_type").agg(
+    filled = ev.na.drop(subset=["etype"]).na.fill({"val2": 0.0})
+    return filled.groupBy("etype").agg(
         F.count("*").alias("n"),
         F.sum(F.col("val2").cast("decimal(18,2)")).cast("double").alias("sum_filled"),
         F.sum(F.when(F.col("val2") == 0.0, 1).otherwise(0)).alias("n_was_null"),
@@ -558,26 +565,29 @@ _QVEC_CACHE: dict[str, list[float]] = {}
 _CENTROID_CACHE: dict[str, list] = {}
 # Scratch roots for queries that persist state (dedup index, rollup). Each
 # call gets a FRESH root — so bench reps honestly measure ingest, not a
-# replay skip — and the PREVIOUS call's root is reclaimed (its result has
-# been consumed by then in every harness), bounding tmpfs to one live tree
-# per (query, sf_dir) instead of leaking one per invocation.
-_SCRATCH_DIRS: dict[str, str] = {}
+# replay skip. The CURRENT and PREVIOUS roots stay alive (a harness may
+# still lazily materialize the previously returned DataFrame after the next
+# call starts); anything older is reclaimed, bounding tmpfs to two live
+# trees per (query, sf_dir). Whatever is left is removed at process exit.
+_SCRATCH_DIRS: dict[str, list[str]] = {}
 
 
 def _fresh_scratch(kind: str, sf_dir: str) -> str:
+    import atexit as _atexit
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
     key = f"{kind}:{sf_dir}"
-    old = _SCRATCH_DIRS.pop(key, None)
-    if old:
-        _shutil.rmtree(old, ignore_errors=True)
+    live = _SCRATCH_DIRS.setdefault(key, [])
+    while len(live) >= 2:  # keep previous + current; reclaim older
+        _shutil.rmtree(live.pop(0), ignore_errors=True)
     root = _tempfile.mkdtemp(
         prefix=f"endor-{kind}-",
         dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
     )
-    _SCRATCH_DIRS[key] = root
+    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    live.append(root)
     return root
 
 
@@ -625,18 +635,6 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, _query_vec(spark, sf_dir), _CENTROID_CACHE[key], k=10, n_probe=2)
 
 
-def q_na_drop_required(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 ``na.drop`` on required columns (TokenRatesAggregationDriver.scala:92)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.when(F.col("event_type") == "error", None)
-        .otherwise(F.col("event_type"))
-        .alias("etype"),
-        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("val2"),
-    )
-    return ev.na.drop(subset=["etype", "val2"])
-
-
 def q_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 ``first`` in group (TokenRatesAggregationDriver.scala:67-68) —
     deterministic because the picked column is functionally dependent on the
@@ -651,7 +649,11 @@ def q_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9 hex/byte scalar ops (EthereumTokensPipeline.scala:43,142-151)."""
+    """P9 hex/byte scalar ops (EthereumTokensPipeline.scala:43,142-151) +
+    P10 big-decimal rescale (value/10^2 at decimal(38,18), 4dp) — one
+    per-row scalar-function query so the gate covers both in one row."""
+    from endor_blockchain_data_pipeline_spark.functions.decode import scaled_decimal_expr
+
     ev = _t(spark, sf_dir, "events")
     hexed = F.hex(F.encode(F.col("event_type"), "UTF-8"))
     return ev.select(
@@ -660,6 +662,7 @@ def q_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(hexed).alias("hex_op_lc"),
         F.decode(F.unhex(hexed), "UTF-8").alias("roundtrip"),
         F.hex(F.col("event_id")).alias("hex_id"),
+        scaled_decimal_expr("value", 2, scale=4).alias("val_scaled"),
     )
 
 
@@ -751,16 +754,6 @@ def q_schema_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cast to the same epoch seconds DuckDB's epoch() returns.
         F.col("ts").cast("timestamp_ltz").cast("long").alias("epoch_s"),
         F.to_date("ts").alias("day"),
-    )
-
-
-def q_scaled_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P10 big-decimal rescale: value/10^2 at decimal(38,18), 3dp."""
-    from endor_blockchain_data_pipeline_spark.functions.decode import scaled_decimal_expr
-
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", scaled_decimal_expr("value", 2, scale=4).alias("val_scaled")
     )
 
 
@@ -1113,7 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "ann_topk": q_ann_topk,
-        "na_drop_required": q_na_drop_required,
+        "kmv_distinct": q_kmv_distinct,
         "first_in_group": q_first_in_group,
         "hex_roundtrip": q_hex_roundtrip,
         "conv_stats_rollup": q_conv_stats_rollup,
@@ -1122,7 +1115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "schema_projection_cast": q_schema_projection_cast,
-        "scaled_decimal": q_scaled_decimal,
         "trim_names": q_trim_names,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_pairs_exact": q_cosine_pairs_exact,
@@ -1140,7 +1132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_transcript": q_conv_transcript,
         "range_join_concurrency": q_range_join_concurrency,
         "hypertable_rollup": q_hypertable_rollup,
-        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1210,16 +1201,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type IN ('click', 'view')
         """,
         "na_handling": """
-            WITH e AS (SELECT event_type,
+            WITH e AS (SELECT CASE WHEN event_type = 'error' THEN NULL
+                                   ELSE event_type END AS etype,
                               COALESCE(CASE WHEN value < 5 THEN NULL ELSE value END, 0.0) AS val2
                        FROM events)
-            SELECT event_type, count(*) AS n,
+            SELECT etype, count(*) AS n,
                    CAST(SUM(CAST(val2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled,
                    -- CAST: DuckDB SUM(int) yields HUGEINT, which pandas-coerces
                    -- to float64 ("3.0") while Spark emits int64 ("3") — the
                    -- r1 driver hash failure. BIGINT keeps both sides integral.
                    CAST(SUM(CASE WHEN val2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_was_null
-            FROM e GROUP BY event_type
+            FROM e WHERE etype IS NOT NULL GROUP BY etype
         """,
         "date_truncation": """
             SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
@@ -1310,10 +1302,6 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 10
         """,
-        "na_drop_required": """
-            SELECT event_id, event_type AS etype, value AS val2
-            FROM events WHERE event_type <> 'error' AND value >= 5
-        """,
         "first_in_group": """
             SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
                    first(user_id) AS uid, count(*) AS n
@@ -1324,7 +1312,8 @@ def oracle_sql() -> dict[str, str]:
                    hex(encode(event_type)) AS hex_op,
                    lower(hex(encode(event_type))) AS hex_op_lc,
                    decode(unhex(hex(encode(event_type)))) AS roundtrip,
-                   hex(event_id) AS hex_id
+                   hex(event_id) AS hex_id,
+                   CAST(round(CAST(value AS DECIMAL(38,18)) / CAST(100 AS DECIMAL(38,0)), 4) AS DOUBLE) AS val_scaled
             FROM events
         """,
         "conv_stats_rollup": """
@@ -1352,11 +1341,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS val_dec,
                    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
                    CAST(ts AS DATE) AS day
-            FROM events
-        """,
-        "scaled_decimal": """
-            SELECT event_id,
-                   CAST(round(CAST(value AS DECIMAL(38,18)) / CAST(100 AS DECIMAL(38,0)), 4) AS DOUBLE) AS val_scaled
             FROM events
         """,
         "trim_names": """

@@ -161,8 +161,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
         import math
-        import struct as _struct
         import wave
+
+        import numpy as np
 
         for pdf in batches:
             rows = []
@@ -174,18 +175,28 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     sw = w.getsampwidth()
                     raw = w.readframes(ns)
                 # dispatch the unpack on the actual sample width — blindly
-                # assuming 16-bit raises struct.error mid-executor (or worse,
-                # misparses) on 8-bit or non-PCM input.
+                # assuming 16-bit misparses 8-bit or non-PCM input.
                 if sw == 2:
-                    samples = _struct.unpack(f"<{ns * ch}h", raw)
+                    samples = np.frombuffer(
+                        raw[: ns * ch * 2], dtype="<i2"
+                    ).astype(np.int64)
                 elif sw == 1:  # 8-bit WAV PCM is unsigned, midpoint 128
-                    samples = tuple(b - 128 for b in raw[: ns * ch])
+                    samples = (
+                        np.frombuffer(raw[: ns * ch], dtype=np.uint8).astype(np.int64)
+                        - 128
+                    )
                 else:
                     raise ValueError(
                         f"media_id={mid}: only 8/16-bit PCM WAV supported, "
                         f"got sample width {sw} bytes"
                     )
-                rms = math.sqrt(sum(s * s for s in samples) / len(samples)) if samples else 0.0
+                # int64 dot product is exact, so this equals the per-sample
+                # Python fold bit-for-bit — just vectorized.
+                rms = (
+                    math.sqrt(int(samples @ samples) / samples.size)
+                    if samples.size
+                    else 0.0
+                )
                 rows.append(
                     {
                         "media_id": mid,
@@ -274,17 +285,38 @@ def decode_bmp(data: bytes) -> tuple[int, int, list[bytes]]:
     return w, h, rows
 
 
-def _luma_grid(w: int, h: int, rows: list[bytes]) -> list[list[float]]:
-    """Per-pixel luma (BT.601) from BGR rows."""
-    out = []
-    for row in rows:
-        out.append(
-            [
-                0.114 * row[3 * x] + 0.587 * row[3 * x + 1] + 0.299 * row[3 * x + 2]
-                for x in range(w)
-            ]
-        )
-    return out
+def _luma_grid(w: int, h: int, rows: list[bytes]):
+    """Per-pixel luma (BT.601) from BGR rows, vectorized: one (h, w)
+    float64 ndarray instead of per-pixel Python arithmetic. The elementwise
+    expression matches the scalar formula bit-for-bit (same IEEE-double
+    operation order)."""
+    import numpy as np
+
+    arr = (
+        np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8)
+        .reshape(h, w, 3)
+        .astype(np.float64)
+    )
+    return 0.114 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.299 * arr[:, :, 2]
+
+
+def _byte_stats(buf: bytes) -> tuple[float, float]:
+    """Mean + Shannon entropy over a byte string via ``np.bincount`` — the
+    vectorized replacement for the per-byte Python counting loop. The mean
+    is exact (int64 sum); the entropy fold runs over counts in ascending
+    byte order, so it is deterministic across runs and batch shapes."""
+    import math
+
+    import numpy as np
+
+    n = len(buf)
+    if not n:
+        return 0.0, 0.0
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    counts = np.bincount(arr, minlength=256)
+    mean = int(arr.sum(dtype=np.int64)) / n
+    ent = -sum((c / n) * math.log2(c / n) for c in counts.tolist() if c)
+    return mean, ent
 
 
 def _decode_bmp_features(data: bytes) -> dict:
@@ -305,15 +337,8 @@ def _pixel_features(n_blob_bytes: int, w: int, h: int, rows: list[bytes]) -> dic
     + the 8x8 average-luma perceptual hash. Identical pixel content yields
     an identical phash regardless of the container format (tested: the same
     md5-derived image encoded as BMP and PNG hashes equal)."""
-    import math
-
-    px = b"".join(rows)
-    n = len(px)
-    counts: dict[int, int] = {}
-    for x in px:
-        counts[x] = counts.get(x, 0) + 1
-    ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else 0.0
-    mean = sum(px) / n if n else 0.0
+    px = b"".join(bytes(r) for r in rows)
+    mean, ent = _byte_stats(px)
     # average-hash: luma downsampled to 8x8 block means, thresholded at the
     # global mean -> 64 bits msb-first -> 16 hex chars.
     luma = _luma_grid(w, h, rows)
@@ -322,8 +347,8 @@ def _pixel_features(n_blob_bytes: int, w: int, h: int, rows: list[bytes]) -> dic
         y0, y1 = gy * h // 8, max((gy + 1) * h // 8, gy * h // 8 + 1)
         for gx in range(8):
             x0, x1 = gx * w // 8, max((gx + 1) * w // 8, gx * w // 8 + 1)
-            vals = [luma[y][x] for y in range(y0, min(y1, h)) for x in range(x0, min(x1, w))]
-            grid.append(sum(vals) / len(vals) if vals else 0.0)
+            block = luma[y0 : min(y1, h), x0 : min(x1, w)]
+            grid.append(float(block.mean()) if block.size else 0.0)
     gmean = sum(grid) / len(grid)
     bits = 0
     for v in grid:
@@ -510,22 +535,17 @@ def decode_png(data: bytes) -> tuple[int, int, list[bytes]]:
 
 
 def _decode_image_stub(data: bytes) -> dict:
-    """STUB decode kernel for codecs NOT in this container (PNG/JPEG need
-    PIL) — deterministic byte statistics instead of pixels. Replace with
-    ``PIL.Image.open(io.BytesIO(data))`` + real features when the codec
-    libraries are available; the surrounding plumbing is final.
+    """STUB decode kernel for codecs whose libraries are NOT in this
+    container (JPEG needs a DCT/huffman codec, video needs a demuxer) —
+    deterministic byte statistics instead of pixels. BMP and PNG take the
+    REAL pixel decoders above; this fallback also catches malformed blobs
+    those decoders reject. Replace with a real codec + ``_pixel_features``
+    when the libraries are available; the surrounding plumbing is final.
     """
-    import math
-
     b = bytes(data)
-    n = len(b)
-    counts: dict[int, int] = {}
-    for x in b:
-        counts[x] = counts.get(x, 0) + 1
-    ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else 0.0
-    mean = sum(b) / n if n else 0.0
+    mean, ent = _byte_stats(b)
     phash = "".join(f"{x:02x}" for x in b[:8])
-    return {"n_bytes": n, "byte_mean": mean, "byte_entropy": ent, "phash": phash}
+    return {"n_bytes": len(b), "byte_mean": mean, "byte_entropy": ent, "phash": phash}
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:

@@ -72,12 +72,20 @@ def parallelize_for_fanout(df: DataFrame, min_partitions: int | None = None) -> 
     max_bytes = int(raw[:-1] if mult != 1 else raw) * mult
     files = df.inputFiles()
     if not files:
-        # No stat-able leaves (in-memory relation, checkpointed plan): such
-        # plans carry no AQE file-scan exchanges to accidentally
-        # materialize, so the partition-count probe is safe — and it stops
-        # us re-shuffling a checkpointed DF that is ALREADY wider than the
-        # target.
-        if df.rdd.getNumPartitions() >= target:
+        # No stat-able leaves (in-memory relation, checkpointed plan, JDBC).
+        # The .rdd partition-count probe eagerly materializes any upstream
+        # shuffle stages — and under AQE it runs them AGAIN when the result
+        # is consumed — so it is only safe when the analyzed plan is narrow
+        # (no joins/aggregates/windows). Wide file-less plans repartition
+        # unconditionally: one possibly-redundant lazy shuffle beats double
+        # execution of the expensive stages.
+        plan = df._jdf.queryExecution().analyzed().toString().lower()
+        wide = any(
+            k in plan
+            for k in ("join", "aggregate", "window", "sort", "deduplicate",
+                      "repartition", "distinct")
+        )
+        if not wide and df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)
     total = 0

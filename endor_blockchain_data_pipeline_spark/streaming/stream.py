@@ -174,10 +174,16 @@ def stream_documents_dedup(
         bounds = micro.agg(
             F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
             F.count("*").alias("n"),
+            # content fingerprint (order-independent bit_xor of row hashes):
+            # epoch ids restart at 0 when a checkpoint is wiped or a second
+            # stream targets the same index, so (epoch, lo, hi, n) alone can
+            # collide across streams with DIFFERENT content and silently
+            # skip a genuinely new batch via the batch registry.
+            F.expr("bit_xor(xxhash64(doc_id, text))").alias("fp"),
         ).first()
         batch_id = (
             f"stream-{epoch_id}-{int(bounds['lo'])}-{int(bounds['hi'])}"
-            f"-{int(bounds['n'])}"
+            f"-{int(bounds['n'])}-{int(bounds['fp']) & 0xFFFFFFFFFFFFFFFF:016x}"
         )
         index.add_batch(micro, batch_id)
 

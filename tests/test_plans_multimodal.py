@@ -356,3 +356,67 @@ def test_image_features_dispatch_png(spark):
     for r in media.select("media_id", "data").collect():
         exp = _decode_png_features(bytes(r["data"]))
         assert got[r["media_id"]] == (exp["phash"], exp["byte_entropy"])
+
+
+def test_vectorized_kernels_match_scalar_reference():
+    """The numpy kernels (_byte_stats, _luma_grid, WAV rms) must reproduce
+    the per-byte / per-sample Python folds they replaced: mean and rms are
+    integer-exact, entropy and luma within float ulp."""
+    import hashlib
+    import math
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _byte_stats,
+        _luma_grid,
+    )
+
+    blob = b"".join(
+        hashlib.md5(f"parity:{i}".encode()).digest() for i in range(512)
+    )
+    mean, ent = _byte_stats(blob)
+    counts: dict[int, int] = {}
+    for x in blob:
+        counts[x] = counts.get(x, 0) + 1
+    n = len(blob)
+    ref_ent = -sum((c / n) * math.log2(c / n) for _, c in sorted(counts.items()))
+    assert mean == sum(blob) / n  # int64 sum: exact
+    assert abs(ent - ref_ent) < 1e-12
+    assert _byte_stats(b"") == (0.0, 0.0)
+
+    w, h = 7, 5
+    rows = [blob[r * w * 3 : (r + 1) * w * 3] for r in range(h)]
+    luma = _luma_grid(w, h, rows)
+    for y in range(h):
+        for x in range(w):
+            ref = (
+                0.114 * rows[y][3 * x]
+                + 0.587 * rows[y][3 * x + 1]
+                + 0.299 * rows[y][3 * x + 2]
+            )
+            assert luma[y][x] == ref  # same IEEE op order: bit-equal
+
+
+def test_wav_rms_matches_scalar_reference(spark):
+    """Vectorized WAV RMS (int64 dot) == the per-sample Python fold."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio_media,
+    )
+
+    media = synthesize_audio_media(spark, n=3)
+    got = {
+        r["media_id"]: r["rms"] for r in extract_audio_features(media).collect()
+    }
+    for r in media.select("media_id", "data").collect():
+        with wave.open(io.BytesIO(bytes(r["data"])), "rb") as w:
+            ns, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(ns)
+        assert sw == 2
+        samples = struct.unpack(f"<{ns * ch}h", raw)
+        ref = math.sqrt(sum(s * s for s in samples) / len(samples))
+        assert got[r["media_id"]] == ref

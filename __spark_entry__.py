@@ -733,6 +733,24 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.keep_list()
 
 
+def q_incremental_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown against the persisted index: ingest the corpus in two
+    batches, then ``remove_docs`` a fixed id set — tombstoned bands +
+    labels, affected clusters re-folded over their remaining members. The
+    keep-list must equal the one-shot resolution over the corpus MINUS the
+    removed docs, which is exactly what the oracle computes."""
+    from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
+        DedupIndex,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = DedupIndex(spark, _fresh_scratch("incdedup-rm", sf_dir))
+    idx.add_batch(d.where(F.col("doc_id") % 2 == 0), "b-even")
+    idx.add_batch(d.where(F.col("doc_id") % 2 == 1), "b-odd")
+    idx.remove_docs(list(_REMOVED_DOC_IDS), "rm-takedown")
+    return idx.keep_list()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed embedding near-dup pairs (cosine >= 0.15 within bucket)."""
     from endor_blockchain_data_pipeline_spark.operators.similarity import (
@@ -1008,11 +1026,14 @@ def _build_embedding_near_dup_sql(
 
 # Shared CTE chain for the MinHash-LSH candidate pairs (k_shingle=12,
 # n_hashes=4, n_bands=2) — used verbatim by both the lsh_candidate_pairs
-# oracle and as the recursive-CC input for dup_clusters.
-_SQL_LSH_PAIRS_CTES = """
+# oracle and as the recursive-CC input for dup_clusters. ``src`` swaps the
+# corpus source so the removal oracle can run the SAME recipe over the
+# post-takedown corpus.
+def _lsh_pairs_ctes(src: str = "documents") -> str:
+    return f"""
             sh AS (
               SELECT doc_id, substr(text, CAST(i AS INTEGER), 12) AS sh
-              FROM documents,
+              FROM {src},
                    UNNEST(range(1, greatest(len(text) - 11, 1) + 1)) AS t(i)),
             sigs AS (
               SELECT doc_id,
@@ -1033,6 +1054,9 @@ _SQL_LSH_PAIRS_CTES = """
 """
 
 
+_SQL_LSH_PAIRS_CTES = _lsh_pairs_ctes()
+
+
 def _build_kmv_sql() -> str:
     """DuckDB mirror of q_kmv_distinct: the shared kmv_sql estimator joined
     with the exact distinct count."""
@@ -1049,8 +1073,9 @@ def _build_kmv_sql() -> str:
 # One-shot near-dup keep-list (LSH pairs -> recursive min-label CC -> per-doc
 # verdict). Shared by the dup_clusters oracle AND the incremental_dedup
 # oracle: the incremental fold must reproduce the one-shot result exactly.
-_SQL_KEEP_LIST = f"""
-    WITH RECURSIVE {_SQL_LSH_PAIRS_CTES},
+def _keep_list_sql(src: str = "documents", prelude: str = "") -> str:
+    return f"""
+    WITH RECURSIVE {prelude}{_lsh_pairs_ctes(src)},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM lsh_pairs
       UNION
@@ -1069,8 +1094,23 @@ _SQL_KEEP_LIST = f"""
     SELECT d.doc_id,
            COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
            (COALESCE(cc.cluster_id, d.doc_id) = d.doc_id) AS keep
-    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    FROM {src} d LEFT JOIN cc ON cc.node = d.doc_id
 """
+
+
+_SQL_KEEP_LIST = _keep_list_sql()
+
+# Post-takedown oracle: the SAME one-shot recipe over the corpus minus the
+# removed ids — remove_docs' incremental re-fold must land exactly here.
+_REMOVED_DOC_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
+_SQL_KEEP_LIST_AFTER_REMOVE = _keep_list_sql(
+    src="corpus",
+    prelude=(
+        "corpus AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN "
+        f"({', '.join(str(i) for i in _REMOVED_DOC_IDS)})),\n"
+    ),
+)
+
 
 
 # ---------------------------------------------------------------- contract
@@ -1113,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "dup_clusters": q_dup_clusters,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_remove": q_incremental_dedup_remove,
         "embedding_near_dup": q_embedding_near_dup,
         "schema_projection_cast": q_schema_projection_cast,
         "trim_names": q_trim_names,
@@ -1335,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         # batched pair set telescopes) — so the oracle IS the one-shot
         # keep-list SQL, and any drift in the incremental fold hash-fails.
         "incremental_dedup": _SQL_KEEP_LIST,
+        "incremental_dedup_remove": _SQL_KEEP_LIST_AFTER_REMOVE,
         "embedding_near_dup": _build_embedding_near_dup_sql(0.15, n_bits=8, dim=64, seed=42),
         "schema_projection_cast": """
             SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,

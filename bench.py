@@ -477,6 +477,12 @@ commit), which the scaling curve above evidences.
             "seconds — approximate-path quality reported next to its "
             "latency.\n"
         )
+        ab = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench", "DRIFT_AB.md"
+        )
+        if os.path.exists(ab):
+            with open(ab) as src:
+                fh.write("\n" + src.read())
 
 
 if __name__ == "__main__":

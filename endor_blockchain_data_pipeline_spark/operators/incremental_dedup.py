@@ -37,8 +37,11 @@ telescopes (intra(b1) + intra(b2) + cross(b2,b1) = pairs(b1 ∪ b2)).
 Scale notes: the pair list and the affected-cluster membership are the
 SMALL artifacts (pairs bounded by LSH bucket caps per doc, membership by
 touched clusters); both are driver-collected under an explicit bound, the
-same adaptive discipline as ``dup_clusters``. Doc removal (tombstoned
-bands) is not wired — curation corpora grow append-only.
+same adaptive discipline as ``dup_clusters``. ``remove_docs`` handles
+takedown/opt-out: tombstone the doc's band + label rows, then re-fold the
+labels of its cluster over the REMAINING members (removal can split a
+cluster or flip its canonical keeper) — the same O(affected) contract as
+``add_batch``.
 """
 
 from __future__ import annotations
@@ -192,12 +195,14 @@ class DedupIndex:
 
     # ---------------- the incremental fold ----------------
 
-    def _with_internals(self, df: DataFrame, batch_id: str, seq: int) -> DataFrame:
+    def _with_internals(
+        self, df: DataFrame, batch_id: str, seq: int, deleted: bool = False
+    ) -> DataFrame:
         return df.select(
             "*",
             F.lit(seq).cast("long").alias("_lsn"),
             F.timestamp_seconds(F.lit(seq)).alias("_mts"),
-            F.lit(False).alias("_deleted"),
+            F.lit(deleted).alias("_deleted"),
             F.lit(batch_id).alias("_batch"),
         )
 
@@ -425,13 +430,23 @@ class DedupIndex:
     def _commit_batch(
         self, batch_id: str, new_bands: DataFrame, labels: DataFrame, stats: dict
     ) -> dict:
+        return self._commit_frames(
+            batch_id,
+            lambda seq: self._with_internals(new_bands, batch_id, seq),
+            lambda seq: self._with_internals(labels, batch_id, seq),
+            stats,
+        )
+
+    def _commit_frames(self, batch_id: str, make_bands, make_clusters, stats) -> dict:
         """Publish bands then cluster labels, each idempotent per batch id.
 
         The two STAGE passes (the heavy, fully-parallel file writes) run
         concurrently — the tables are independent until their manifest
         commits, the same pipelining discipline as the CDC job's MoR
         staging; commits stay ordered (bands first) so a crash window
-        always leaves the pair-replay deterministic.
+        always leaves the pair-replay deterministic. ``make_bands`` /
+        ``make_clusters`` build the fully-internaled generation frames for
+        the chosen sequence number (append rows, tombstones, or a mix).
         """
         import concurrent.futures as _cf
 
@@ -446,20 +461,12 @@ class DedupIndex:
         do_clusters = batch_id not in self.clusters.committed_batches()
         with _cf.ThreadPoolExecutor(max_workers=2) as pool:
             fb = (
-                pool.submit(
-                    self.bands.stage,
-                    self._with_internals(new_bands, batch_id, seq),
-                    batch_id,
-                )
+                pool.submit(self.bands.stage, make_bands(seq), batch_id)
                 if do_bands
                 else None
             )
             fc = (
-                pool.submit(
-                    self.clusters.stage,
-                    self._with_internals(labels, batch_id, seq),
-                    batch_id,
-                )
+                pool.submit(self.clusters.stage, make_clusters(seq), batch_id)
                 if do_clusters
                 else None
             )
@@ -476,3 +483,172 @@ class DedupIndex:
             else:
                 stats["replayed_clusters"] = True
         return stats
+
+    # ---------------- removal (takedown / opt-out) ----------------
+
+    def remove_docs(self, ids, batch_id: str) -> dict:
+        """Take docs OUT of the corpus: tombstone their band rows and label
+        rows, then re-fold the labels of every AFFECTED cluster over its
+        REMAINING members. Removal can split a cluster (the removed doc may
+        have been the only LSH bridge between two subgroups) and can flip
+        the canonical keeper (the removed doc may have been the min id), so
+        the fold recomputes connected components from the persisted band
+        index — scoped to affected-cluster membership, O(affected), never
+        O(corpus). Afterwards ``keep_list()`` equals the one-shot
+        resolution over the remaining corpus (tested). This is the CDC
+        core's delete handling (tombstones win the per-key merge) applied
+        to the curation index; re-adding a removed doc later simply
+        out-LSNs its tombstones.
+
+        ``ids`` is a list of doc ids or a one-column DataFrame.
+        """
+        if (
+            batch_id in self.bands.committed_batches()
+            and batch_id in self.clusters.committed_batches()
+        ):
+            return {
+                "batch_id": batch_id,
+                "fold": "replay",
+                "replayed_bands": True,
+                "replayed_clusters": True,
+            }
+        id_col = self.id_col
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(id_col).cast("long")).distinct()
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(int(i),) for i in sorted(set(ids))], f"{id_col} long"
+            )
+        # Reads EXCLUDE this batch id: replay after a crash between the two
+        # commits sees the same pre-removal state either way (the remaining
+        # members' rows are never tombstoned by this batch).
+        cl = self._read(self.clusters, exclude_batch_ids=[batch_id])
+        if cl is None:
+            return {"batch_id": batch_id, "fold": "noop-empty-index"}
+        bands = self._read(self.bands, exclude_batch_ids=[batch_id])
+        ids_b = F.broadcast(ids_df)
+
+        affected_cids = (
+            cl.join(ids_b, id_col, "leftsemi").select("cluster_id").distinct()
+        )
+        members = materialize(
+            cl.join(
+                F.broadcast(affected_cids.withColumnRenamed("cluster_id", "_cid")),
+                cl["cluster_id"] == F.col("_cid"),
+                "leftsemi",
+            ).select(id_col, "cluster_id")
+        )
+        removed = materialize(members.join(ids_b, id_col, "leftsemi"))
+        remaining = materialize(members.join(ids_b, id_col, "left_anti"))
+        # Candidate edges among the REMAINING affected members, recomputed
+        # from the persisted band index (a removed bridge doc contributes no
+        # edges): bands semi-join membership, then the banded self-join —
+        # the same bucketed shape as add_batch, scoped to touched clusters.
+        rb = materialize(
+            bands.join(remaining.select(id_col), id_col, "leftsemi")
+        )
+        a, b = rb.alias("a"), rb.alias("b")
+        edges = materialize(
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+        tomb_bands = bands.join(ids_b, id_col, "leftsemi")
+
+        limit = self.driver_pair_limit
+        member_rows = remaining.limit(limit + 1).collect()
+        edge_rows = edges.limit(limit + 1).collect()
+        if len(member_rows) > limit or len(edge_rows) > limit:
+            return self._remove_docs_distributed(
+                batch_id, remaining, edges, tomb_bands, removed
+            )
+
+        # driver union-find over the remaining affected subgraph only
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(p: int, q: int) -> None:
+            rp, rq = find(p), find(q)
+            if rp != rq:
+                parent[max(rp, rq)] = min(rp, rq)
+
+        for r in member_rows:
+            find(int(r[id_col]))  # singletons label themselves
+        for r in edge_rows:
+            union(int(r["id_a"]), int(r["id_b"]))
+        writes = []
+        for r in member_rows:
+            i = int(r[id_col])
+            lbl = find(i)
+            if lbl != int(r["cluster_id"]):
+                writes.append((i, lbl))
+        live = self.spark.createDataFrame(
+            writes, f"{id_col} long, cluster_id long"
+        )
+        return self._commit_frames(
+            batch_id,
+            lambda seq: self._with_internals(tomb_bands, batch_id, seq, deleted=True),
+            lambda seq: self._with_internals(live, batch_id, seq).unionByName(
+                self._with_internals(
+                    removed.select(id_col, "cluster_id"), batch_id, seq, deleted=True
+                )
+            ),
+            {
+                "batch_id": batch_id,
+                "fold": "driver-union-find",
+                "n_removed": removed.count(),
+                "n_label_writes": len(writes),
+            },
+        )
+
+    def _remove_docs_distributed(
+        self,
+        batch_id: str,
+        remaining: DataFrame,
+        edges: DataFrame,
+        tomb_bands: DataFrame,
+        removed: DataFrame,
+    ) -> dict:
+        """Removal fold beyond the driver bound: label the remaining
+        affected subgraph with the distributed hash-min propagation and
+        write only the changed labels — nothing corpus-sized collects."""
+        from endor_blockchain_data_pipeline_spark.operators.dedup import dup_clusters
+
+        id_col = self.id_col
+        labels = dup_clusters(edges, driver_pair_limit=self.driver_pair_limit)
+        live = (
+            remaining.withColumnRenamed("cluster_id", "_old")
+            .join(labels, F.col(id_col) == labels["node"], "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+                "_old",
+            )
+            .where(F.col("cluster_id") != F.col("_old"))
+            .select(id_col, "cluster_id")
+        )
+        return self._commit_frames(
+            batch_id,
+            lambda seq: self._with_internals(tomb_bands, batch_id, seq, deleted=True),
+            lambda seq: self._with_internals(live, batch_id, seq).unionByName(
+                self._with_internals(
+                    removed.select(id_col, "cluster_id"), batch_id, seq, deleted=True
+                )
+            ),
+            {"batch_id": batch_id, "fold": "distributed-label-propagation"},
+        )

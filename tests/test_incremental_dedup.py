@@ -220,3 +220,189 @@ def test_crash_between_commits_keeps_label_lsns_monotonic(spark, tmp_path):
         .count()
     )
     assert dup_stamps == 0
+
+
+# ---------------- removal (takedown / opt-out) ----------------
+
+
+def _py_bands(text: str) -> tuple[tuple[str, str], tuple[str, str]]:
+    """Pure-Python mirror of the engine's md5_long band recipe (char-12
+    shingles, 4 hashes, 2 bands); equal-length lowercase hex min ==
+    numeric min, so band equality here == band-key equality there."""
+    import hashlib
+
+    n = max(len(text) - 11, 1)
+    shingles = {text[i : i + 12] for i in range(n)}
+    mh = [
+        min(hashlib.md5(f"h{j}:{sh}".encode()).hexdigest()[:15] for sh in shingles)
+        for j in range(4)
+    ]
+    return (mh[0], mh[1]), (mh[2], mh[3])
+
+
+def _find_bridge_texts() -> tuple[str, str, str]:
+    """Deterministically construct texts A=P+Q, B=P+R, C=S+R where B shares
+    an LSH band with A (band 0's minima land in the shared P) and with C
+    (band 1's minima land in the shared R) but A and C share none — so B is
+    the only bridge and removing it must SPLIT the cluster. Constructive:
+    pick P with the extreme h0/h1 block-minima and R with the extreme h2/h3
+    ones, then verify the full condition (boundary shingles could perturb
+    it) over a deterministic (Q, S) grid."""
+    import hashlib
+
+    def blockmins(block: str) -> list[str]:
+        n = max(len(block) - 11, 1)
+        sh = {block[i : i + 12] for i in range(n)}
+        return [
+            min(hashlib.md5(f"h{j}:{s}".encode()).hexdigest()[:15] for s in sh)
+            for j in range(4)
+        ]
+
+    cands = [
+        f"block {i} lorem ipsum dolor sit amet consectetur adipiscing elit {i}"
+        for i in range(120)
+    ]
+    mins = {c: blockmins(c) for c in cands}
+    p = min(cands, key=lambda c: max(mins[c][0], mins[c][1]))
+    r = min((c for c in cands if c != p), key=lambda c: max(mins[c][2], mins[c][3]))
+    rest = [c for c in cands if c not in (p, r)]
+    for q in rest[:30]:
+        for s in rest[30:60]:
+            a, b, c = f"{p} {q}", f"{p} {r}", f"{s} {r}"
+            ba, bb, bc = _py_bands(a), _py_bands(b), _py_bands(c)
+            ab = any(x == y for x, y in zip(ba, bb))
+            bcs = any(x == y for x, y in zip(bb, bc))
+            ac = any(x == y for x, y in zip(ba, bc))
+            if ab and bcs and not ac:
+                return a, b, c
+    raise AssertionError("no bridge triple found")
+
+
+def test_remove_doc_flips_keeper(spark, tmp_path):
+    """Removing a cluster's canonical doc promotes its near-dup to keeper
+    (the r4 VERDICT done-criterion for takedown)."""
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(_docs(spark, [(1, T1), (2, T2), (10, T1)]), "b1")
+    v = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
+    assert v[1] == (1, True) and v[10] == (1, False)
+
+    s = idx.remove_docs([1], "rm1")
+    assert s["n_removed"] == 1
+    v2 = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
+    assert 1 not in v2
+    assert v2[10] == (10, True)  # keeper verdict flipped
+    assert v2[2] == (2, True)
+
+
+def test_remove_bridge_splits_cluster(spark, tmp_path):
+    """Removing the only LSH bridge between two subgroups splits the
+    cluster: both survivors become their own canonicals."""
+    ta, tb, tc = _find_bridge_texts()
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(_docs(spark, [(1, ta), (2, tb), (3, tc)]), "b1")
+    v = {r["doc_id"]: r["cluster_id"] for r in idx.keep_list().collect()}
+    assert v == {1: 1, 2: 1, 3: 1}  # one chain cluster via the bridge
+
+    idx.remove_docs([2], "rm-bridge")
+    v2 = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
+    assert v2 == {1: (1, True), 3: (3, True)}  # split into two keepers
+
+
+def test_remove_equals_oneshot_on_testdata(spark, tmp_path):
+    """After takedown, keep_list == one-shot resolution over the REMAINING
+    corpus (driver-gate invariant, real testdata)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(docs.where(F.col("doc_id") % 2 == 0), "b-even")
+    idx.add_batch(docs.where(F.col("doc_id") % 2 == 1), "b-odd")
+    removed = list(range(8))
+    idx.remove_docs(removed, "rm")
+
+    remaining = docs.where(~F.col("doc_id").isin(removed))
+    oneshot = dedup_resolution(
+        remaining,
+        minhash_candidates(
+            remaining, "text", "doc_id", k_shingle=12, n_hashes=4, n_bands=2
+        ),
+    )
+    assert_df_equal(idx.keep_list(), oneshot)
+
+
+def test_remove_replay_and_unknown_ids(spark, tmp_path):
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(_docs(spark, [(1, T1), (10, T1)]), "b1")
+    idx.remove_docs([1], "rm1")
+    before = sorted(tuple(r) for r in idx.keep_list().collect())
+
+    s = idx.remove_docs([1], "rm1")  # same batch id: pure replay skip
+    assert s["fold"] == "replay"
+    assert sorted(tuple(r) for r in idx.keep_list().collect()) == before
+
+    s2 = idx.remove_docs([999], "rm-unknown")  # id never ingested: no-op
+    assert sorted(tuple(r) for r in idx.keep_list().collect()) == before
+    assert s2["n_removed"] == 0
+
+
+def test_remove_then_readd(spark, tmp_path):
+    """A later add_batch out-LSNs the tombstones: the doc rejoins its
+    cluster and the canonical is recomputed."""
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(_docs(spark, [(1, T1), (10, T1)]), "b1")
+    idx.remove_docs([1], "rm1")
+    v = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
+    assert v == {10: (10, True)}
+
+    idx.add_batch(_docs(spark, [(1, T1)]), "b-readd")
+    v2 = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
+    assert v2 == {1: (1, True), 10: (1, False)}
+
+
+def test_remove_crash_between_commits_heals(spark, tmp_path):
+    """Crash after the bands-tombstone commit but before the clusters
+    commit; replaying the SAME removal batch finishes the fold and the
+    final state equals an uncrashed removal."""
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(_docs(spark, [(1, T1), (2, T2), (10, T1)]), "b1")
+
+    orig = idx.clusters.commit_staged
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before clusters commit")
+    idx.clusters.commit_staged = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.remove_docs([1], "rm1")
+    idx.clusters.commit_staged = orig
+
+    s = idx.remove_docs([1], "rm1")
+    assert s["replayed_bands"] and not s["replayed_clusters"]
+    v = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in idx.keep_list().collect()}
+    assert 1 not in v and v[10] == (10, True) and v[2] == (2, True)
+
+
+def test_remove_distributed_fold_matches_driver(spark, tmp_path):
+    """Force the removal fold past the driver bound: the distributed label
+    propagation must produce the identical keep-list."""
+    rows = [(i, T1) for i in range(1, 9)] + [(20, T2), (21, T2)]
+    a = DedupIndex(spark, str(tmp_path / "a"))
+    a.add_batch(_docs(spark, rows), "b1")
+    a.remove_docs([1, 20], "rm")
+    want = sorted(tuple(r) for r in a.keep_list().collect())
+
+    b = DedupIndex(spark, str(tmp_path / "b"), driver_pair_limit=2)
+    b.add_batch(_docs(spark, rows), "b1")
+    s = b.remove_docs([1, 20], "rm")
+    assert s["fold"] == "distributed-label-propagation"
+    assert sorted(tuple(r) for r in b.keep_list().collect()) == want
+
+
+def test_remove_then_maintain_preserves_state(spark, tmp_path):
+    """Compaction + vacuum after a takedown must not resurrect tombstoned
+    docs or disturb the re-folded labels."""
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(_docs(spark, [(1, T1), (2, T2), (10, T1)]), "b1")
+    idx.add_batch(_docs(spark, [(3, T3)]), "b2")
+    idx.remove_docs([1], "rm1")
+    before = sorted(tuple(r) for r in idx.keep_list().collect())
+    idx.maintain(compact_threshold=1, vacuum_grace_sec=0.0)
+    assert sorted(tuple(r) for r in idx.keep_list().collect()) == before

@@ -435,3 +435,208 @@ def embedding_near_dup(
         F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= threshold)
+
+
+class IvfIndex:
+    """Incremental materialized IVF index under one root directory.
+
+    The r4 index (`ivf_write_index`) was build-once; this puts the ANN
+    index under the same incremental contract as the dedup index: new
+    embedding batches APPEND into the bucket layout at O(batch) cost
+    (assigned with the CURRENT centroids — exactly how FAISS/ScaNN-style
+    IVF lists grow), and a staleness ratio triggers a Lloyd re-train +
+    full rebuild when enough post-training data has accumulated that the
+    old coarse quantizer no longer balances the lists.
+
+    Layout — every committed batch is a partition directory pair::
+
+        <root>/meta.json                   # centroids, params, batch registry
+        <root>/data/_batch=<id>/bucket=<cid>/*.parquet
+
+    Both ``_batch`` and ``bucket`` are partition columns, so (a) probe
+    filters prune to n_probe/K of the files, (b) the committed-batch filter
+    excludes half-written data from a crashed append (its id never reached
+    meta.json, which is swapped atomically via tmp+rename), and (c) append
+    idempotency is a registry lookup. Rebuild re-trains on the committed
+    corpus and publishes a single fresh generation; superseded directories
+    become unreferenced (vacuumable) garbage, exactly like MoR generations
+    after compaction.
+    """
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        quant: int = 1_000_000,
+    ) -> None:
+        import json
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.quant = quant
+        self._meta_path = os.path.join(root, "meta.json")
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as fh:
+                self.meta = json.load(fh)
+        else:
+            self.meta = None  # not built yet
+
+    def _save_meta(self) -> None:
+        import json
+        import os
+
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.meta, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._meta_path)  # atomic publish
+
+    @property
+    def centroids(self) -> list[tuple[int, list[float]]]:
+        return [(int(c), list(map(float, v))) for c, v in self.meta["centroids"]]
+
+    def _write_batch(self, df: DataFrame, batch_id: str) -> int:
+        import os
+
+        out = (
+            df.select(self.id_col, self.vec_col)
+            .withColumn("bucket", ivf_assign_expr(self.vec_col, self.centroids))
+            .withColumn("_batch", F.lit(batch_id))
+        )
+        out.write.mode("append").partitionBy("_batch", "bucket").parquet(
+            os.path.join(self.root, "data")
+        )
+        return self.read_batch_count(batch_id)
+
+    def read_batch_count(self, batch_id: str) -> int:
+        import os
+
+        return (
+            self.spark.read.parquet(os.path.join(self.root, "data"))
+            .where(F.col("_batch") == batch_id)
+            .count()
+        )
+
+    def build(
+        self,
+        df: DataFrame,
+        seed_ids: list[int],
+        iters: int = 2,
+        batch_id: str = "build-0",
+    ) -> dict:
+        """Train the coarse quantizer (deterministic Lloyd) and publish the
+        first generation."""
+        cents = ivf_train_lloyd(
+            df, seed_ids, iters=iters, vec_col=self.vec_col,
+            id_col=self.id_col, quant=self.quant,
+        )
+        self.meta = {
+            "centroids": cents,
+            "seed_ids": list(seed_ids),
+            "iters": iters,
+            "batches": [],
+            "rows_at_train": 0,
+            "rows_since_train": 0,
+            "generation": 0,
+        }
+        n = self._write_batch(df, batch_id)
+        self.meta["batches"] = [batch_id]
+        self.meta["rows_at_train"] = n
+        self._save_meta()
+        return {"batch_id": batch_id, "rows": n, "retrained": True}
+
+    def append(
+        self, df: DataFrame, batch_id: str, retrain_threshold: float | None = None
+    ) -> dict:
+        """O(batch) ingest: assign the new vectors with the CURRENT
+        centroids and append their bucket partitions. Idempotent per batch
+        id. When ``retrain_threshold`` is set and rows appended since the
+        last training exceed ``threshold * rows_at_train``, the index
+        re-trains and rebuilds (the staleness contract)."""
+        if self.meta is None:
+            raise ValueError("IvfIndex.append before build()")
+        if batch_id in self.meta["batches"]:
+            return {"batch_id": batch_id, "rows": 0, "replayed": True}
+        n = self._write_batch(df, batch_id)
+        self.meta["batches"].append(batch_id)
+        self.meta["rows_since_train"] += n
+        self._save_meta()
+        stats = {"batch_id": batch_id, "rows": n, "replayed": False,
+                 "staleness": self.staleness(), "retrained": False}
+        if (
+            retrain_threshold is not None
+            and self.meta["rows_since_train"]
+            > retrain_threshold * max(self.meta["rows_at_train"], 1)
+        ):
+            self.rebuild()
+            stats["retrained"] = True
+        return stats
+
+    def staleness(self) -> float:
+        return self.meta["rows_since_train"] / max(self.meta["rows_at_train"], 1)
+
+    def read(self) -> DataFrame:
+        """The committed corpus (crashed half-written appends excluded by
+        the partition filter on the registered batch ids)."""
+        import os
+
+        return (
+            self.spark.read.parquet(os.path.join(self.root, "data"))
+            .where(F.col("_batch").isin(self.meta["batches"]))
+        )
+
+    def rebuild(self) -> dict:
+        """Lloyd re-train over the full committed corpus, then republish
+        everything as ONE fresh generation. Old directories become
+        unreferenced garbage (vacuum())."""
+        corpus = materialize(self.read().select(self.id_col, self.vec_col))
+        cents = ivf_train_lloyd(
+            corpus, self.meta["seed_ids"], iters=self.meta["iters"],
+            vec_col=self.vec_col, id_col=self.id_col, quant=self.quant,
+        )
+        gen = self.meta["generation"] + 1
+        batch_id = f"rebuild-{gen}"
+        self.meta["centroids"] = cents
+        n = self._write_batch(corpus, batch_id)
+        self.meta.update(
+            batches=[batch_id], rows_at_train=n, rows_since_train=0, generation=gen
+        )
+        self._save_meta()
+        return {"batch_id": batch_id, "rows": n, "generation": gen}
+
+    def vacuum(self) -> int:
+        """Delete data directories whose batch id is no longer registered
+        (superseded generations, crashed appends). Returns dirs removed."""
+        import os
+        import shutil
+
+        live = {f"_batch={b}" for b in self.meta["batches"]}
+        removed = 0
+        data = os.path.join(self.root, "data")
+        for d in os.listdir(data):
+            if d.startswith("_batch=") and d not in live:
+                shutil.rmtree(os.path.join(data, d), ignore_errors=True)
+                removed += 1
+        return removed
+
+    def topk(self, query_vec: list[float], k: int = 10, n_probe: int = 2) -> DataFrame:
+        """Partition-pruned probe: bucket filter + committed-batch filter
+        both resolve against directory names at planning time."""
+        ranked = sorted(
+            ((-_cosine_py(query_vec, cv), cid) for cid, cv in self.centroids)
+        )[:n_probe]
+        probe_ids = [cid for _, cid in ranked]
+        q = F.lit([float(x) for x in query_vec])
+        cands = self.read().where(F.col("bucket").isin(probe_ids))
+        scored = cands.select(
+            F.col(self.id_col),
+            F.round(cosine_expr(F.col(self.vec_col), q), 6).alias("cos_sim"),
+        )
+        return _ranked_topk(scored, k, self.id_col)

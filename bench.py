@@ -166,6 +166,32 @@ def run_queries() -> dict[str, float]:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
+    # The O(batch) claim, given its own numbers: the `incremental_dedup`
+    # headline row times a FULL two-batch index bootstrap (manifest commits
+    # dominate at toy scale). Split it: `_build` = first batch into an empty
+    # index (bootstrap fixed cost), `_add` = second batch against the
+    # existing index — the marginal cost a 100-TB pipeline actually pays
+    # per increment.
+    from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
+        DedupIndex,
+    )
+
+    best_build = best_add = None
+    for _ in range(max(REPS, 1)):
+        root = tempfile.mkdtemp(prefix="bench-incdedup-", dir=WORK_ROOT)
+        idx = DedupIndex(spark, root)
+        even = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 0)
+        odd = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 1)
+        t0 = time.time()
+        idx.add_batch(even, "b-even")
+        t1 = time.time()
+        idx.add_batch(odd, "b-odd")
+        t2 = time.time()
+        best_build = t1 - t0 if best_build is None else min(best_build, t1 - t0)
+        best_add = t2 - t1 if best_add is None else min(best_add, t2 - t1)
+        shutil.rmtree(root, ignore_errors=True)
+    out["incremental_dedup_build"] = round(best_build, 3)
+    out["incremental_dedup_add"] = round(best_add, 3)
     # ANN quality next to ANN latency: recall@10 of the two approximate
     # paths against the exact brute-force ranking (same query vector).
     exact = {r["vec_id"] for r in qs["ann_topk"](spark, SF_DIR).collect()}

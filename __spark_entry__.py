@@ -291,9 +291,23 @@ def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P8 string normalization + the PII scrub a corpus release runs:
+    every row gets a deterministic PII-salted prefix (email/IP/SSN built
+    from doc_id) so the redaction regexes fire on every row and any
+    Java-vs-RE2 divergence hash-fails in the gate."""
+    from endor_blockchain_data_pipeline_spark.functions.text import pii_redact_expr
+
     d = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.lit("mail u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(" ssn 123-45-6789 "), F.col("text"),
+    )
     return d.select(
-        "doc_id", normalize_text_expr(F.col("text")).alias("norm_text")
+        "doc_id",
+        normalize_text_expr(F.col("text")).alias("norm_text"),
+        pii_redact_expr(salted).alias("redacted"),
     )
 
 
@@ -371,17 +385,32 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split by content hash — reproducible on
-    any engine / cluster size / file layout (seeded sample() is none of
-    those). 90/5/5 over documents, with per-split counts."""
-    from endor_blockchain_data_pipeline_spark.functions.text import hash_split_expr
+    """Deterministic train/val/test split by content hash (reproducible on
+    any engine / cluster size / file layout — seeded sample() is none of
+    those) + per-split greedy SEQUENCE PACKING into 512-token context
+    windows (`pack_documents`: hashed lanes + one prefix-sum window per
+    lane, no global sort). Splits never share a pack."""
+    from endor_blockchain_data_pipeline_spark.functions.text import (
+        hash_split_expr,
+        pack_documents,
+    )
 
     d = _t(spark, sf_dir, "documents")
     split = hash_split_expr("doc_id", {"train": 90, "val": 5, "test": 5})
-    return (
-        d.select("doc_id", split.alias("split"))
-        .groupBy("split")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+    assigned = d.select("doc_id", "text", split.alias("split"))
+    packed = pack_documents(
+        assigned, "text", "doc_id",
+        budget_tokens=512, n_buckets=4, partition_cols=("split",),
+    )
+    per_pack = packed.groupBy("split", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.count("*").alias("pack_docs"),
+    )
+    return per_pack.groupBy("split").agg(
+        F.sum("pack_docs").cast("long").alias("n_docs"),
+        F.count("*").alias("n_packs"),
+        F.max("pack_tokens").alias("max_pack_tokens"),
+        F.sum(F.when(F.col("pack_tokens") >= 512, 1).otherwise(0)).alias("full_packs"),
     )
 
 
@@ -1057,6 +1086,63 @@ def _lsh_pairs_ctes(src: str = "documents") -> str:
 _SQL_LSH_PAIRS_CTES = _lsh_pairs_ctes()
 
 
+def _build_normalize_pii_sql() -> str:
+    """DuckDB mirror of q_normalize_text: normalization + the generated
+    PII-redaction chain over the same salted text."""
+    from endor_blockchain_data_pipeline_spark.functions.text import pii_redact_sql
+
+    salted = (
+        "'mail u' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || ' ssn 123-45-6789 ' || text"
+    )
+    return f"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '…', ' ', 'g'),
+                                   '\\s+', ' ', 'g')) AS norm_text,
+               {pii_redact_sql(salted)} AS redacted
+        FROM documents
+    """
+
+
+def _build_hash_split_pack_sql() -> str:
+    """DuckDB mirror of q_hash_split: split assignment + per-split greedy
+    sequence packing (lanes + prefix-sum window), same md5 recipes."""
+    return """
+        WITH assigned AS (
+          SELECT doc_id, text,
+                 CASE WHEN b < 90 THEN 'train'
+                      WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id, text,
+                       ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                FROM documents)),
+        tok AS (
+          SELECT doc_id, split,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                 ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM assigned),
+        packed AS (
+          SELECT split, n_tokens,
+                 (h % 4) * 4294967296
+                 + CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY split, h % 4 ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 512.0) AS BIGINT) AS pack_id
+          FROM tok),
+        per_pack AS (
+          SELECT split, pack_id,
+                 CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+                 count(*) AS pack_docs
+          FROM packed GROUP BY 1, 2)
+        SELECT split,
+               CAST(SUM(pack_docs) AS BIGINT) AS n_docs,
+               count(*) AS n_packs,
+               max(pack_tokens) AS max_pack_tokens,
+               CAST(SUM(CASE WHEN pack_tokens >= 512 THEN 1 ELSE 0 END) AS BIGINT) AS full_packs
+        FROM per_pack GROUP BY split
+    """
+
+
 def _build_kmv_sql() -> str:
     """DuckDB mirror of q_kmv_distinct: the shared kmv_sql estimator joined
     with the exact distinct count."""
@@ -1295,12 +1381,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(word)
             GROUP BY word HAVING count(*) >= 20
         """,
-        "normalize_text": """
-            SELECT doc_id,
-                   trim(regexp_replace(regexp_replace(lower(text), '…', ' ', 'g'),
-                                       '\\s+', ' ', 'g')) AS norm_text
-            FROM documents
-        """,
+        "normalize_text": _build_normalize_pii_sql(),
         "token_stats": """
             SELECT lang,
                    -- CAST AS BIGINT: avoid DuckDB's HUGEINT sum type (see
@@ -1498,18 +1579,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rn
             FROM events
         """,
-        "hash_split": """
-            WITH assigned AS (
-              SELECT doc_id,
-                     CASE WHEN b < 90 THEN 'train'
-                          WHEN b < 95 THEN 'val'
-                          ELSE 'test' END AS split
-              FROM (SELECT doc_id,
-                           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
-                    FROM documents))
-            SELECT split, count(*) AS n_docs, min(doc_id) AS min_id
-            FROM assigned GROUP BY split
-        """,
+        "hash_split": _build_hash_split_pack_sql(),
         "corpus_profile": """
             SELECT lang,
                    count(*) AS n_docs,

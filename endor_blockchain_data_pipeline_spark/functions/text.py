@@ -141,3 +141,94 @@ def char_shingles(col: Column | str, k: int = 12) -> Column:
     c = _c(col)
     n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
     return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+
+
+# PII patterns applied in order (most-specific first: an SSN must not be
+# half-eaten by the phone rule). Plain RE2-safe syntax — no lookarounds or
+# backrefs — so Java (Spark) and RE2 (DuckDB) match identically and the
+# redaction is oracle-reproducible.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # no \b before '+': space->'+' is non-word->non-word, never a boundary
+    (r"(?:\+|\b)\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{2,4}\b", "<PHONE>"),
+)
+
+
+def pii_redact_expr(col: Column | str) -> Column:
+    """Redact common PII shapes (emails, SSNs, card numbers, IPv4, phone
+    numbers) with typed placeholders — the takedown-adjacent scrub every
+    training-data pipeline runs before releasing a corpus. Pure chained
+    ``regexp_replace`` (JVM, codegen); ``pii_redact_sql`` emits the DuckDB
+    mirror of the same chain."""
+    out = _c(col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_redact_sql(expr: str) -> str:
+    """The DuckDB mirror of ``pii_redact_expr`` (the 'g' flag = Spark's
+    replace-all default)."""
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        # standard SQL string literals do NOT process backslashes — the
+        # pattern embeds verbatim, only quotes need doubling
+        out = f"regexp_replace({out}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return out
+
+
+def pack_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = 512,
+    n_buckets: int = 8,
+    partition_cols: tuple[str, ...] = (),
+):
+    """Deterministic greedy sequence packing: assign each document to a
+    fixed-token-budget pack (the context-window filling step of training
+    prep), reproducible on any engine or cluster size.
+
+    Scale shape: NO global sort. Documents hash into ``n_buckets``
+    independent lanes (md5 — engine-portable), each lane orders by (hash,
+    id) and takes ONE window prefix-sum of token counts; ``pack_id =
+    lane * 2^32 + floor(exclusive_prefix / budget)``. A pack can overflow
+    the budget by at most one document (the straddler stays in the pack
+    where its prefix started — standard contiguous packing). At 100 TB
+    that is B parallel window partitions instead of a cluster-wide
+    RangePartitioning sort; raise ``n_buckets`` with the corpus.
+
+    ``partition_cols`` packs within groups (e.g. per split, so train and
+    val sequences never mix); pack identity is then ``(partition_cols...,
+    pack_id)`` — the lane/sequence space restarts per group. Returns the
+    input columns plus ``n_tokens``, ``pack_lane``, ``pack_id``.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pack:"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    lane = F.pmod(h, F.lit(n_buckets)).cast("long")
+    toks = token_count_expr(text_col).cast("long")
+    with_cols = df.select(
+        "*", toks.alias("n_tokens"), lane.alias("pack_lane"), h.alias("_ord")
+    )
+    w = (
+        Window.partitionBy(*partition_cols, "pack_lane")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return with_cols.select(
+        "*",
+        (
+            F.col("pack_lane") * F.lit(2**32)
+            + F.floor(excl / F.lit(budget_tokens))
+        ).alias("pack_id"),
+    ).drop("_ord")

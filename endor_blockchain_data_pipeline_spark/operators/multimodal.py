@@ -16,11 +16,17 @@ The decode paths are REAL with the stdlib alone for:
   gray/RGB/RGBA PNGs — zlib inflate + all five scanline unfilters
   (None/Sub/Up/Average/Paeth) — into the same BGR row shape, sharing the
   feature kernel with BMP (identical pixels => identical phash, tested).
-Codecs that genuinely need external libraries (JPEG/mp4 need PIL/ffmpeg,
-absent here) fall back to deterministic, clearly-marked stubs
-(``_decode_image_stub`` etc.); the Spark-side plumbing (schemas, batching,
-partitioning, UDF signatures) is identical and tested — swap the stub body
-for a real codec and nothing else changes.
+- IMAGE (JPEG): ``operators/jpeg.py`` is a from-scratch baseline JPEG
+  codec (Annex K huffman/quant tables, numpy DCT): 8-bit grayscale/YCbCr,
+  4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals — plus the fixture
+  encoder that synthesizes real viewable JPEGs.
+- VIDEO (MJPEG AVI): ``demux_mjpeg_avi`` walks the RIFF chunk tree, reads
+  the frame clock from ``avih`` and yields JPEG frames; ``sample_frames``
+  emits the frame nearest each tick as a decodable JPEG blob.
+Streams outside those envelopes (progressive JPEG, mp4/h264 — a real
+codec-library dependency) fall back to deterministic, clearly-marked
+stubs (``_decode_image_stub`` etc.); the Spark-side plumbing (schemas,
+batching, partitioning, UDF signatures) is identical and tested.
 
 Scale notes: media rows are large — repartition by size (``target_rows_per
 _partition``) before a decode pass so one straggler blob doesn't serialize
@@ -256,6 +262,54 @@ def synthesize_image_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _md5_pixel_rows(
+    media_id: int, seed: int, width: int, height: int
+) -> list[bytes]:
+    """The shared deterministic test image: top-down BGR rows with pixel
+    (x, y) = md5(seed:media_id:x:y)[:3] — the same content synthesize_bmp
+    and synthesize_png encode, so one image exists in three containers."""
+    import hashlib
+
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += hashlib.md5(f"{seed}:{media_id}:{x}:{y}".encode()).digest()[:3]
+        rows.append(bytes(row))
+    return rows
+
+
+def synthesize_jpeg(
+    media_id: int,
+    seed: int = 42,
+    width: int = 24,
+    height: int = 16,
+    quality: int = 100,
+    subsampling: str = "444",
+) -> bytes:
+    """A REAL (viewable) baseline JFIF JPEG of the shared md5 test image,
+    encoded by the engine's own codec (`operators/jpeg.py`)."""
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    return encode_jpeg(
+        width, height, _md5_pixel_rows(media_id, seed, width, height),
+        quality=quality, subsampling=subsampling,
+    )
+
+
+def synthesize_jpeg_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Media table of REAL JPEG blobs — alternating 4:4:4 and 4:2:0 so the
+    decoder's sampling walk sees both layouts (driver-built fixture)."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i * 7) % 24, 8 + (i * 5) % 16
+        blob = synthesize_jpeg(
+            i, seed, w, h, subsampling="420" if i % 2 else "444"
+        )
+        rows.append((i, "image", "image/jpeg", bytearray(blob), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, list[bytes]]:
     """Parse an uncompressed 24-bit BMP with the stdlib only.
 
@@ -329,6 +383,15 @@ def _decode_bmp_features(data: bytes) -> dict:
 def _decode_png_features(data: bytes) -> dict:
     """REAL pixel features for PNG blobs (stdlib inflate + unfilter)."""
     w, h, rows = decode_png(data)
+    return _pixel_features(len(bytes(data)), w, h, rows)
+
+
+def _decode_jpeg_features(data: bytes) -> dict:
+    """REAL pixel features for baseline JPEG blobs (own huffman + IDCT
+    kernel, `operators/jpeg.py`)."""
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    w, h, rows = decode_jpeg(data)
     return _pixel_features(len(bytes(data)), w, h, rows)
 
 
@@ -535,13 +598,12 @@ def decode_png(data: bytes) -> tuple[int, int, list[bytes]]:
 
 
 def _decode_image_stub(data: bytes) -> dict:
-    """STUB decode kernel for codecs whose libraries are NOT in this
-    container (JPEG needs a DCT/huffman codec, video needs a demuxer) —
-    deterministic byte statistics instead of pixels. BMP and PNG take the
-    REAL pixel decoders above; this fallback also catches malformed blobs
-    those decoders reject. Replace with a real codec + ``_pixel_features``
-    when the libraries are available; the surrounding plumbing is final.
-    """
+    """Fallback kernel for streams OUTSIDE the engine's real codecs (BMP,
+    PNG, baseline JPEG, WAV, MJPEG-AVI): progressive/arithmetic JPEG,
+    HEIC, mp4/h264 etc. genuinely need external codec libraries absent
+    from this container — those blobs get deterministic byte statistics
+    instead of pixels, and malformed blobs the real decoders reject
+    degrade here too (one odd blob never aborts a corpus pass)."""
     b = bytes(data)
     mean, ent = _byte_stats(b)
     phash = "".join(f"{x:02x}" for x in b[:8])
@@ -569,6 +631,13 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 return _decode_png_features(b)
             except Exception:
                 return _decode_image_stub(b)
+        if b[:2] == b"\xff\xd8":
+            # Same degrade rule: the magic also matches progressive /
+            # 12-bit / arithmetic streams the baseline kernel refuses.
+            try:
+                return _decode_jpeg_features(b)
+            except Exception:
+                return _decode_image_stub(b)
         return _decode_image_stub(b)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -583,19 +652,143 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+def mux_mjpeg_avi(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Assemble JPEG frames into a REAL (playable) MJPEG AVI container:
+    RIFF('AVI ' LIST(hdrl avih LIST(strl strh strf)) LIST(movi 00dc...)).
+    The fixture-side counterpart of ``demux_mjpeg_avi``."""
+    import struct as _struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc + _struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) % 2 else b"")
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    uspf = 1_000_000 // fps
+    avih = chunk(
+        b"avih",
+        _struct.pack(
+            "<14I", uspf, 0, 0, 0x10, len(frames), 0, 1, 0,
+            width, height, 0, 0, 0, 0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + _struct.pack(
+            "<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 10_000, 0
+        )
+        + _struct.pack("<4H", 0, 0, width, height),
+    )
+    strf = chunk(
+        b"strf",
+        _struct.pack(
+            "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+            width * height * 3, 0, 0, 0, 0,
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def demux_mjpeg_avi(data: bytes) -> tuple[int, list[bytes]]:
+    """Parse a RIFF AVI and return (microseconds_per_frame, JPEG frames).
+
+    A real demuxer for the one container the engine fully owns: walks the
+    chunk tree recursively, reads the frame clock from ``avih``, collects
+    ``00dc``/``00db`` stream payloads. Raises on non-AVI input (dispatch
+    degrades those to the byte-slice stub)."""
+    import struct as _struct
+
+    b = bytes(data)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI")
+    uspf: int | None = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal uspf
+        p = 0
+        while p + 8 <= len(buf):
+            fourcc = buf[p : p + 4]
+            (sz,) = _struct.unpack_from("<I", buf, p + 4)
+            payload = buf[p + 8 : p + 8 + sz]
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(payload[4:])  # skip the list-kind fourcc
+            elif fourcc == b"avih":
+                uspf = _struct.unpack_from("<I", payload, 0)[0]
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(payload)
+            p += 8 + sz + (sz & 1)
+
+    walk(b)
+    return (uspf or 100_000), frames
+
+
+def synthesize_mjpeg_media(
+    spark, n: int = 6, seed: int = 42, n_frames: int = 12, fps: int = 10
+) -> DataFrame:
+    """Media table of REAL MJPEG AVI blobs: each frame is a distinct md5
+    test image encoded by the engine's JPEG codec (driver-built fixture)."""
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i * 8) % 16, 16
+        frames = [
+            encode_jpeg(w, h, _md5_pixel_rows(i * 1000 + f, seed, w, h))
+            for f in range(n_frames)
+        ]
+        blob = mux_mjpeg_avi(frames, w, h, fps=fps)
+        rows.append(
+            (i, "video", "video/x-msvideo", bytearray(blob), w, h,
+             n_frames * 1000 // fps)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 10_000, max_frames: int = 8) -> DataFrame:
     """video rows -> sampled frame rows (row expansion inside mapInPandas).
 
-    The stub 'frame' is a deterministic slice of the blob; a real impl calls
-    the demuxer per row and yields the same shape.
-    """
+    MJPEG AVI blobs take the REAL demuxer: frames are located by the
+    container's own frame clock (``avih`` microseconds/frame), the frame
+    nearest each ``every_ms`` tick is emitted as its full JPEG blob —
+    decodable downstream by ``extract_image_features``. Other containers
+    (env-blocked codecs) fall back to the deterministic byte-slice stub,
+    same shape."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data, dur in zip(pdf["media_id"], pdf["data"], pdf["duration_ms"]):
-                n = min(max_frames, max(int(dur // every_ms), 1))
                 blob = bytes(data)
+                if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    uspf, frames = demux_mjpeg_avi(blob)
+                    picked: list[int] = []
+                    for k in range(max_frames):
+                        idx = round(k * every_ms * 1000 / uspf)
+                        if idx >= len(frames):
+                            break
+                        if picked and idx == picked[-1]:
+                            continue
+                        picked.append(idx)
+                    for j, idx in enumerate(picked):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "frame_ms": int(idx * uspf // 1000),
+                                "frame": frames[idx],
+                            }
+                        )
+                    continue
+                n = min(max_frames, max(int(dur // every_ms), 1))
                 for i in range(n):
                     off = (i * 37) % max(len(blob) - 16, 1)
                     rows.append(

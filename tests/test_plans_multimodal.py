@@ -420,3 +420,149 @@ def test_wav_rms_matches_scalar_reference(spark):
         samples = struct.unpack(f"<{ns * ch}h", raw)
         ref = math.sqrt(sum(s * s for s in samples) / len(samples))
         assert got[r["media_id"]] == ref
+
+
+def test_jpeg_roundtrip_and_subsampling():
+    """The engine's own baseline JPEG codec: encode->decode roundtrip is
+    near-lossless at q=100 (4:4:4), the 4:2:0 path preserves luma (chroma
+    loss is the subsampling, not a bug), and odd dimensions pad correctly
+    in both layouts."""
+    import numpy as np
+
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _md5_pixel_rows,
+    )
+
+    w, h = 24, 16
+    rows = _md5_pixel_rows(7, 42, w, h)
+    a = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(float)
+
+    blob = encode_jpeg(w, h, rows, quality=100)
+    w2, h2, rows2 = decode_jpeg(blob)
+    assert (w2, h2) == (w, h)
+    b = np.frombuffer(b"".join(rows2), dtype=np.uint8).astype(float)
+    assert np.abs(a - b).mean() < 1.0  # near-lossless at q=100
+
+    def luma(rs):
+        arr = np.frombuffer(b"".join(rs), dtype=np.uint8).reshape(h, w, 3).astype(float)
+        return 0.114 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.299 * arr[:, :, 2]
+
+    blob420 = encode_jpeg(w, h, rows, quality=100, subsampling="420")
+    _, _, rows420 = decode_jpeg(blob420)
+    assert np.abs(luma(rows) - luma(rows420)).mean() < 1.0
+
+    for sub in ("444", "420"):
+        r_odd = _md5_pixel_rows(3, 42, 21, 13)
+        w3, h3, _ = decode_jpeg(encode_jpeg(21, 13, r_odd, subsampling=sub))
+        assert (w3, h3) == (21, 13)
+
+
+def test_jpeg_same_image_phash_close_to_bmp():
+    """BMP and q=100 JPEG of the SAME md5 image produce near-identical
+    perceptual hashes — the decode is real pixels, not byte statistics
+    (byte stats of a JPEG blob would be entropy-coded noise)."""
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _decode_bmp_features,
+        _decode_jpeg_features,
+        synthesize_bmp,
+        synthesize_jpeg,
+    )
+
+    for i in (0, 5):
+        fb = _decode_bmp_features(synthesize_bmp(i, seed=42, width=16, height=12))
+        fj = _decode_jpeg_features(synthesize_jpeg(i, seed=42, width=16, height=12))
+        hamming = bin(int(fb["phash"], 16) ^ int(fj["phash"], 16)).count("1")
+        assert hamming <= 8  # q=100 shifts block means by <1 luma step
+        assert abs(fb["byte_mean"] - fj["byte_mean"]) < 2.0
+
+
+def test_image_features_dispatch_jpeg(spark):
+    """extract_image_features routes JPEG blobs (both samplings) through
+    the real decoder; a non-baseline stream degrades to the stub instead
+    of aborting the pass."""
+    import pandas as pd
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg_features,
+        extract_image_features,
+        synthesize_jpeg_media,
+    )
+
+    media = synthesize_jpeg_media(spark, n=6)
+    got = {
+        r["media_id"]: (r["phash"], r["byte_entropy"])
+        for r in extract_image_features(media).collect()
+    }
+    assert len(got) == 6
+    for r in media.select("media_id", "data").collect():
+        exp = _decode_jpeg_features(bytes(r["data"]))
+        assert got[r["media_id"]] == (exp["phash"], exp["byte_entropy"])
+
+    # a fake progressive stream (SOF2) keeps the JPEG magic but must fall
+    # back to byte statistics rather than raise
+    bogus = b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00" + b"\xff\xd9"
+    rows = [(99, "image", "image/jpeg", bytearray(bogus), 16, 16, None)]
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    bad = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_image_features(bad).collect()
+    assert len(feats) == 1 and feats[0]["n_bytes"] == len(bogus)
+
+
+def test_mjpeg_avi_demux_roundtrip():
+    """mux -> demux returns the exact frame blobs and the frame clock."""
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _md5_pixel_rows,
+        demux_mjpeg_avi,
+        mux_mjpeg_avi,
+    )
+
+    frames = [
+        encode_jpeg(16, 16, _md5_pixel_rows(f, 42, 16, 16)) for f in range(5)
+    ]
+    blob = mux_mjpeg_avi(frames, 16, 16, fps=10)
+    uspf, got = demux_mjpeg_avi(blob)
+    assert uspf == 100_000
+    assert got == frames  # byte-identical payloads through the container
+
+
+def test_sample_frames_real_avi_path(spark):
+    """sample_frames demuxes REAL AVI blobs: sampled frames are full JPEG
+    blobs at the container's frame clock, decodable by the image kernel —
+    and non-AVI blobs still take the byte-slice stub in the same pass."""
+    import pandas as pd
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_jpeg_features,
+        sample_frames,
+        synthesize_mjpeg_media,
+    )
+
+    media = synthesize_mjpeg_media(spark, n=3, n_frames=12, fps=10)  # 1.2s each
+    frames = sample_frames(media, every_ms=500, max_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {0, 1, 2}
+    for mid, rs in by_media.items():
+        rs.sort(key=lambda r: r["frame_idx"])
+        # 500ms ticks on a 100ms frame clock: frames 0, 5, 10
+        assert [r["frame_idx"] for r in rs] == [0, 5, 10]
+        assert [r["frame_ms"] for r in rs] == [0, 500, 1000]
+        for r in rs:
+            f = _decode_jpeg_features(bytes(r["frame"]))  # real JPEG inside
+            assert f["n_bytes"] == len(bytes(r["frame"]))
+
+    # a non-AVI video blob degrades to the 16-byte slice stub, same schema
+    junk = spark.createDataFrame(
+        [(9, "video", "video/mp4", bytearray(b"\x00" * 400), None, None, 2000)],
+        MEDIA_SCHEMA,
+    )
+    stub = sample_frames(junk, every_ms=1000, max_frames=2).collect()
+    assert len(stub) == 2 and all(len(bytes(r["frame"])) == 16 for r in stub)

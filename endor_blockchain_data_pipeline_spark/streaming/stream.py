@@ -145,6 +145,27 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
+def stream_batch_id(
+    micro: DataFrame, epoch_id: int, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Replay-stable id for a foreachBatch delivery: epoch + id bounds +
+    count + a CONTENT fingerprint (order-independent ``bit_xor`` of row
+    hashes). Epoch ids restart at 0 when a checkpoint is wiped or a second
+    stream targets the same index, so (epoch, lo, hi, n) alone can collide
+    across streams with DIFFERENT content and silently skip a genuinely
+    new batch via the batch registry; the fingerprint breaks that tie
+    while re-delivery of the SAME content still replays idempotently."""
+    bounds = micro.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi"),
+        F.count("*").alias("n"),
+        F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("fp"),
+    ).first()
+    return (
+        f"stream-{epoch_id}-{int(bounds['lo'])}-{int(bounds['hi'])}"
+        f"-{int(bounds['n'])}-{int(bounds['fp']) & 0xFFFFFFFFFFFFFFFF:016x}"
+    )
+
+
 def stream_documents_dedup(
     spark: SparkSession,
     docs_dir: str,
@@ -171,21 +192,7 @@ def stream_documents_dedup(
     def apply_batch(micro: DataFrame, epoch_id: int) -> None:
         if micro.isEmpty():
             return
-        bounds = micro.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
-            F.count("*").alias("n"),
-            # content fingerprint (order-independent bit_xor of row hashes):
-            # epoch ids restart at 0 when a checkpoint is wiped or a second
-            # stream targets the same index, so (epoch, lo, hi, n) alone can
-            # collide across streams with DIFFERENT content and silently
-            # skip a genuinely new batch via the batch registry.
-            F.expr("bit_xor(xxhash64(doc_id, text))").alias("fp"),
-        ).first()
-        batch_id = (
-            f"stream-{epoch_id}-{int(bounds['lo'])}-{int(bounds['hi'])}"
-            f"-{int(bounds['n'])}-{int(bounds['fp']) & 0xFFFFFFFFFFFFFFFF:016x}"
-        )
-        index.add_batch(micro, batch_id)
+        index.add_batch(micro, stream_batch_id(micro, epoch_id))
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

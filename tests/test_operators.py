@@ -557,3 +557,63 @@ def test_pack_documents_budget_and_determinism(spark):
         ).collect()
     }
     assert a == b  # layout-independent
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """The full corpus-release chain on real testdata: incremental dedup
+    (2 batches) -> takedown -> keep-list filter -> PII scrub -> sequence
+    packing -> split assignment -> profile. Each stage's invariant holds
+    over the previous stage's actual output."""
+    import pyspark.sql.functions as F
+
+    from endor_blockchain_data_pipeline_spark.functions.text import (
+        hash_split_expr,
+        pack_documents,
+        pii_redact_expr,
+    )
+    from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
+        DedupIndex,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_raw = docs.count()
+
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(docs.where(F.col("doc_id") % 2 == 0), "b-even")
+    idx.add_batch(docs.where(F.col("doc_id") % 2 == 1), "b-odd")
+    idx.remove_docs([0, 1], "takedown")
+
+    verdicts = idx.keep_list()
+    kept = docs.join(
+        verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "leftsemi"
+    )
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_raw - 2  # takedown + at least the corpus dups gone
+
+    scrubbed = kept.select(
+        "doc_id", pii_redact_expr("text").alias("text")
+    )
+    split = hash_split_expr("doc_id", {"train": 90, "val": 5, "test": 5})
+    staged = scrubbed.select("doc_id", "text", split.alias("split"))
+    packed = pack_documents(
+        staged, "text", "doc_id", budget_tokens=256, n_buckets=4,
+        partition_cols=("split",),
+    )
+    per_pack = packed.groupBy("split", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    rows = per_pack.collect()
+    assert sum(r["n"] for r in rows) == n_kept  # every kept doc packed once
+    for r in rows:
+        assert r["tot"] < 256 + r["mx"]  # budget + one straddler
+
+    profile = (
+        packed.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    assert {r["split"] for r in profile} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in profile) == n_kept

@@ -335,3 +335,60 @@ def test_asof_join_matches_scan_oracle(spark, data):
     for k, ts, pid in probes_rows:
         exp = oracle(k, ts)
         assert got[pid] == ((exp[0], exp[1]) if exp else (None, None)), (k, ts)
+
+
+# A tiny text pool with deliberate duplicates so random corpora form real
+# near-dup clusters (identical texts share all LSH bands).
+_POOL = [
+    "the quick brown fox jumps over the lazy dog near the riverbank today",
+    "completely different content about distributed query engines and shuffles",
+    "yet another unrelated paragraph describing parquet footers and manifests",
+    "migratory birds navigate by starlight across continents every autumn",
+    "a fifth distinct document about watermark commits and bucket pruning",
+]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    assign=st.lists(st.integers(0, 4), min_size=4, max_size=14),
+    cut=st.integers(1, 13),
+    removals=st.sets(st.integers(0, 13), max_size=5),
+)
+def test_property_incremental_dedup_with_removal_equals_oneshot(
+    spark, tmp_path_factory, assign, cut, removals
+):
+    """For ANY corpus built from the pool, ANY batch split, and ANY removal
+    set: add_batch x2 + remove_docs == one-shot resolution over the
+    remaining docs. Exercises cluster splits, keeper flips, removals of
+    unknown ids and of whole clusters."""
+    from endor_blockchain_data_pipeline_spark.operators.dedup import (
+        dedup_resolution,
+        minhash_candidates,
+    )
+    from endor_blockchain_data_pipeline_spark.operators.incremental_dedup import (
+        DedupIndex,
+    )
+
+    rows = [(i, _POOL[p]) for i, p in enumerate(assign)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = tmp_path_factory.mktemp("propidx")
+    idx = DedupIndex(spark, str(root / "idx"))
+    cut = min(cut, len(rows))
+    idx.add_batch(docs.where(F.col("doc_id") < cut), "b1")
+    if docs.where(F.col("doc_id") >= cut).count():
+        idx.add_batch(docs.where(F.col("doc_id") >= cut), "b2")
+    idx.remove_docs(sorted(removals), "rm")
+
+    remaining = docs.where(~F.col("doc_id").isin(list(removals)))
+    if remaining.count() == 0:
+        assert idx.keep_list().count() == 0
+        return
+    oneshot = dedup_resolution(
+        remaining,
+        minhash_candidates(
+            remaining, "text", "doc_id", k_shingle=12, n_hashes=4, n_bands=2
+        ),
+    )
+    got = sorted(tuple(r) for r in idx.keep_list().collect())
+    want = sorted(tuple(r) for r in oneshot.collect())
+    assert got == want

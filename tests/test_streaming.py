@@ -293,3 +293,22 @@ def test_stream_documents_dedup_equals_oneshot(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert len(idx.clusters.committed_batches()) == n_commits
+
+
+def test_stream_batch_id_content_fingerprint(spark):
+    """Same (epoch, bounds, count) but DIFFERENT content must yield
+    different batch ids — a wiped checkpoint restarting epochs at 0 can
+    otherwise silently skip a new batch via the index's batch registry.
+    Identical content (re-delivery) keeps the id stable, at any layout."""
+    from endor_blockchain_data_pipeline_spark.streaming.stream import stream_batch_id
+
+    a = spark.createDataFrame(
+        [(1, "first text"), (9, "second text")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "EDITED text"), (9, "second text")], "doc_id long, text string"
+    )
+    ia, ib = stream_batch_id(a, 0), stream_batch_id(b, 0)
+    assert ia != ib  # same epoch/bounds/count, different content
+    assert ia == stream_batch_id(a.repartition(7), 0)  # order-independent
+    assert ia != stream_batch_id(a, 1)  # epoch still participates

@@ -229,27 +229,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
 
 def synthesize_bmp(media_id: int, seed: int = 42, width: int = 24, height: int = 16) -> bytes:
-    """A REAL (viewable) uncompressed 24-bit BMP: deterministic per-pixel
-    BGR values derived from (media_id, x, y, seed) via md5."""
-    import hashlib
-    import struct as _struct
-
-    stride = (width * 3 + 3) & ~3
-    pixel_bytes = stride * height
-    rows = []
-    for y in range(height - 1, -1, -1):  # BMP rows are bottom-up
-        row = bytearray()
-        for x in range(width):
-            h = hashlib.md5(f"{seed}:{media_id}:{x}:{y}".encode()).digest()
-            row += h[:3]  # B, G, R
-        row += b"\x00" * (stride - width * 3)
-        rows.append(bytes(row))
-    header = (
-        b"BM"
-        + _struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)  # file size, offset
-        + _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
-    )
-    return header + b"".join(rows)
+    """A REAL (viewable) uncompressed 24-bit BMP: the shared md5 test image
+    through ``encode_bmp`` (byte-identical to the former inline writer)."""
+    return encode_bmp(width, height, _md5_pixel_rows(media_id, seed, width, height))
 
 
 def synthesize_image_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
@@ -808,9 +790,54 @@ def sample_frames(media: DataFrame, every_ms: int = 10_000, max_frames: int = 8)
     return vids.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize pass: stub keeps the blob, rewrites metadata (a real kernel
-    re-encodes pixels). Shape: binary in -> binary out, same row count."""
+def encode_bmp(width: int, height: int, rows: list[bytes]) -> bytes:
+    """Pack top-down BGR rows into an uncompressed 24-bit BMP (the inverse
+    of ``decode_bmp``) — the lossless re-encode target for the resize pass."""
+    import struct as _struct
+
+    stride = (width * 3 + 3) & ~3
+    pixel_bytes = stride * height
+    body = b"".join(
+        bytes(rows[y]) + b"\x00" * (stride - width * 3)
+        for y in range(height - 1, -1, -1)  # BMP rows are bottom-up
+    )
+    header = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)
+        + _struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes,
+            2835, 2835, 0, 0,
+        )
+    )
+    return header + body
+
+
+def decode_any_image(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Magic-dispatch pixel decode (BMP / PNG / baseline JPEG) to the
+    shared (width, height, top-down BGR rows) contract; raises on formats
+    outside the engine's real codecs."""
+    b = bytes(data)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from endor_blockchain_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
+    raise ValueError("no real decoder for this image format")
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, out_format: str = "bmp"
+) -> DataFrame:
+    """REAL resize pass: decode (BMP/PNG/JPEG), nearest-neighbor resample
+    to (width, height) with numpy index maps, re-encode as BMP (lossless)
+    or JPEG. Blobs outside the real codecs pass through unchanged with
+    NULL dims — one odd blob never aborts the corpus pass. Shape: binary
+    in -> binary out, same row count."""
+    if out_format not in ("bmp", "jpeg"):
+        raise ValueError(f"out_format {out_format!r} not supported")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -820,16 +847,42 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         ]
     )
 
+    def _resize_one(b: bytes) -> bytes | None:
+        import numpy as np
+
+        try:
+            w0, h0, rows = decode_any_image(b)
+        except Exception:
+            return None
+        arr = np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8).reshape(
+            h0, w0, 3
+        )
+        # center-aligned nearest neighbor: deterministic, no float ties
+        ys = np.minimum(((np.arange(height) + 0.5) * h0 / height).astype(int), h0 - 1)
+        xs = np.minimum(((np.arange(width) + 0.5) * w0 / width).astype(int), w0 - 1)
+        res = arr[np.ix_(ys, xs)]
+        out_rows = [res[y].tobytes() for y in range(height)]
+        if out_format == "jpeg":
+            from endor_blockchain_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+            return encode_jpeg(width, height, out_rows, quality=95)
+        return encode_bmp(width, height, out_rows)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "data": pdf["data"],  # stub: real kernel re-encodes
-                    "width": pd.Series([width] * len(pdf), dtype="int32"),
-                    "height": pd.Series([height] * len(pdf), dtype="int32"),
-                }
-            )
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                blob = _resize_one(bytes(data))
+                if blob is None:
+                    out.append({"media_id": mid, "data": bytes(data),
+                                "width": None, "height": None})
+                else:
+                    out.append({"media_id": mid, "data": blob,
+                                "width": width, "height": height})
+            df = pd.DataFrame(out, columns=["media_id", "data", "width", "height"])
+            df["width"] = df["width"].astype("Int32")
+            df["height"] = df["height"].astype("Int32")
+            yield df
 
     imgs = media.where(F.col("kind") == "image").select("media_id", "data")
     return imgs.mapInPandas(kernel, out_schema)

@@ -140,11 +140,17 @@ def test_frame_sampling(spark):
 
 
 def test_resize_shape(spark):
-    media = synthesize_media(spark, n=24, seed=3)
+    """Opaque (undecodable) blobs keep their bytes and get NULL dims —
+    same row count, nothing aborts; decodable inputs are covered by
+    test_resize_images_real_kernel."""
+    media = synthesize_media(spark, n=24, seed=3)  # opaque xxhash blobs
     out = resize_images(media, 224, 224)
     rows = out.collect()
-    assert len(rows) == media.where(F.col("kind") == "image").count()
-    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+    img = media.where(F.col("kind") == "image")
+    assert len(rows) == img.count()
+    assert all(r["width"] is None and r["height"] is None for r in rows)
+    orig = {r["media_id"]: bytes(r["data"]) for r in img.collect()}
+    assert all(bytes(r["data"]) == orig[r["media_id"]] for r in rows)
 
 
 def test_bmp_features_are_real_pixel_decodes(spark):
@@ -566,3 +572,66 @@ def test_sample_frames_real_avi_path(spark):
     )
     stub = sample_frames(junk, every_ms=1000, max_frames=2).collect()
     assert len(stub) == 2 and all(len(bytes(r["frame"])) == 16 for r in stub)
+
+
+def test_resize_images_real_kernel(spark):
+    """resize_images decodes (BMP/PNG/JPEG), nearest-neighbor resamples,
+    and re-encodes: output BMPs decode to the requested dims, the SAME
+    image arriving as BMP and PNG resizes pixel-identically, and an
+    undecodable blob passes through with NULL dims."""
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        resize_images,
+        synthesize_bmp,
+        synthesize_png,
+    )
+
+    rows = [
+        (1, "image", "image/bmp", bytearray(synthesize_bmp(5, 42, 24, 16)), 24, 16, None),
+        (2, "image", "image/png", bytearray(synthesize_png(5, 42, 24, 16)), 24, 16, None),
+        (3, "image", "image/gif", bytearray(b"GIF89a" + b"\x01" * 64), 8, 8, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+
+    assert got[3]["width"] is None and bytes(got[3]["data"]) == bytes(rows[2][3])
+    w1, h1, rows1 = decode_bmp(bytes(got[1]["data"]))
+    w2, h2, rows2 = decode_bmp(bytes(got[2]["data"]))
+    assert (w1, h1) == (8, 8) == (got[1]["width"], got[1]["height"])
+    assert (w2, h2) == (8, 8)
+    assert rows1 == rows2  # same source pixels -> identical resample
+
+    # jpeg output format: the resized blob is a decodable baseline JPEG
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    gj = {r["media_id"]: r for r in resize_images(media, 8, 8, out_format="jpeg").collect()}
+    wj, hj, _ = decode_jpeg(bytes(gj[1]["data"]))
+    assert (wj, hj) == (8, 8)
+
+
+def test_synthesize_bmp_stable_after_refactor():
+    """synthesize_bmp through encode_bmp stays byte-identical to the old
+    inline writer (fixtures and phash expectations must not move)."""
+    import hashlib
+    import struct as _struct
+
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import synthesize_bmp
+
+    width, height, media_id, seed = 10, 6, 4, 42
+    stride = (width * 3 + 3) & ~3
+    pixel_bytes = stride * height
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            row += hashlib.md5(f"{seed}:{media_id}:{x}:{y}".encode()).digest()[:3]
+        row += b"\x00" * (stride - width * 3)
+        rows.append(bytes(row))
+    old = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+        + b"".join(rows)
+    )
+    assert synthesize_bmp(media_id, seed, width, height) == old

@@ -650,5 +650,12 @@ class DedupIndex:
                     removed.select(id_col, "cluster_id"), batch_id, seq, deleted=True
                 )
             ),
-            {"batch_id": batch_id, "fold": "distributed-label-propagation"},
+            {
+                "batch_id": batch_id,
+                "fold": "distributed-label-propagation",
+                # same stats contract as the driver path: callers must not
+                # see a different shape when the size bound flips the fold
+                "n_removed": removed.count(),
+                "n_label_writes": None,  # not collected — distributed
+            },
         )

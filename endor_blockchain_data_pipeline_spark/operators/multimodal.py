@@ -751,25 +751,33 @@ def sample_frames(media: DataFrame, every_ms: int = 10_000, max_frames: int = 8)
             for mid, data, dur in zip(pdf["media_id"], pdf["data"], pdf["duration_ms"]):
                 blob = bytes(data)
                 if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
-                    uspf, frames = demux_mjpeg_avi(blob)
-                    picked: list[int] = []
-                    for k in range(max_frames):
-                        idx = round(k * every_ms * 1000 / uspf)
-                        if idx >= len(frames):
-                            break
-                        if picked and idx == picked[-1]:
-                            continue
-                        picked.append(idx)
-                    for j, idx in enumerate(picked):
-                        rows.append(
-                            {
-                                "media_id": mid,
-                                "frame_idx": idx,
-                                "frame_ms": int(idx * uspf // 1000),
-                                "frame": frames[idx],
-                            }
-                        )
-                    continue
+                    # Same degrade rule as every decode path: a truncated
+                    # avih / corrupt chunk tree / frameless (audio-only)
+                    # AVI falls through to the byte-slice stub instead of
+                    # aborting the corpus pass or silently dropping the row.
+                    try:
+                        uspf, frames = demux_mjpeg_avi(blob)
+                    except Exception:
+                        frames = []
+                    if frames:
+                        picked: list[int] = []
+                        for k in range(max_frames):
+                            idx = round(k * every_ms * 1000 / uspf)
+                            if idx >= len(frames):
+                                break
+                            if picked and idx == picked[-1]:
+                                continue
+                            picked.append(idx)
+                        for idx in picked:
+                            rows.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_idx": idx,
+                                    "frame_ms": int(idx * uspf // 1000),
+                                    "frame": frames[idx],
+                                }
+                            )
+                        continue
                 n = min(max_frames, max(int(dur // every_ms), 1))
                 for i in range(n):
                     off = (i * 37) % max(len(blob) - 16, 1)

@@ -504,16 +504,27 @@ class IvfIndex:
 
     def _write_batch(self, df: DataFrame, batch_id: str) -> int:
         import os
+        import shutil
 
+        # A crashed prior attempt (write landed, meta commit didn't) left an
+        # UNREGISTERED _batch dir; mode('append') would silently double its
+        # rows on retry. The batch id is not registered, so its directory is
+        # entirely this writer's to reclaim — the retry overwrites it.
+        shutil.rmtree(
+            os.path.join(self.root, "data", f"_batch={batch_id}"),
+            ignore_errors=True,
+        )
+        src = materialize(df.select(self.id_col, self.vec_col))
         out = (
-            df.select(self.id_col, self.vec_col)
-            .withColumn("bucket", ivf_assign_expr(self.vec_col, self.centroids))
+            src.withColumn("bucket", ivf_assign_expr(self.vec_col, self.centroids))
             .withColumn("_batch", F.lit(batch_id))
         )
         out.write.mode("append").partitionBy("_batch", "bucket").parquet(
             os.path.join(self.root, "data")
         )
-        return self.read_batch_count(batch_id)
+        # O(batch) count of what was just written — never a re-read of the
+        # whole index directory tree.
+        return src.count()
 
     def read_batch_count(self, batch_id: str) -> int:
         import os
@@ -567,7 +578,14 @@ class IvfIndex:
         n = self._write_batch(df, batch_id)
         self.meta["batches"].append(batch_id)
         self.meta["rows_since_train"] += n
-        self._save_meta()
+        try:
+            self._save_meta()
+        except BaseException:
+            # the commit failed: un-register in memory too, or a same-handle
+            # retry would see the batch as replayed and silently skip it
+            self.meta["batches"].remove(batch_id)
+            self.meta["rows_since_train"] -= n
+            raise
         stats = {"batch_id": batch_id, "rows": n, "replayed": False,
                  "staleness": self.staleness(), "retrained": False}
         if (
@@ -603,8 +621,18 @@ class IvfIndex:
         )
         gen = self.meta["generation"] + 1
         batch_id = f"rebuild-{gen}"
+        # The write needs the NEW centroids (assignment runs inside it), but
+        # a failed write must not leave meta pairing retrained centroids
+        # with old-assignment data — a later _save_meta would persist that
+        # corrupted pairing. Restore on any failure; the half-written
+        # _batch dir stays unregistered (reclaimed by retry or vacuum).
+        old_cents = self.meta["centroids"]
         self.meta["centroids"] = cents
-        n = self._write_batch(corpus, batch_id)
+        try:
+            n = self._write_batch(corpus, batch_id)
+        except BaseException:
+            self.meta["centroids"] = old_cents
+            raise
         self.meta.update(
             batches=[batch_id], rows_at_train=n, rows_since_train=0, generation=gen
         )

@@ -75,17 +75,29 @@ def parallelize_for_fanout(df: DataFrame, min_partitions: int | None = None) -> 
         # No stat-able leaves (in-memory relation, checkpointed plan, JDBC).
         # The .rdd partition-count probe eagerly materializes any upstream
         # shuffle stages — and under AQE it runs them AGAIN when the result
-        # is consumed — so it is only safe when the analyzed plan is narrow
-        # (no joins/aggregates/windows). Wide file-less plans repartition
-        # unconditionally: one possibly-redundant lazy shuffle beats double
-        # execution of the expensive stages.
-        plan = df._jdf.queryExecution().analyzed().toString().lower()
-        wide = any(
-            k in plan
-            for k in ("join", "aggregate", "window", "sort", "deduplicate",
-                      "repartition", "distinct")
-        )
-        if not wide and df.rdd.getNumPartitions() >= target:
+        # is consumed — so it is only safe when the analyzed plan is narrow.
+        # Narrowness is judged on the plan NODE NAMES (first identifier of
+        # each rendered line), never on a substring of the whole plan text:
+        # a column literally named "joined_at" or "window_start" must not
+        # flip the classification. Anything outside the known-narrow
+        # allowlist (joins, aggregates, cogroups, ...) counts as wide and
+        # repartitions unconditionally — one possibly-redundant lazy
+        # shuffle beats double execution of the expensive stages.
+        import re
+
+        narrow_nodes = {
+            "project", "filter", "localrelation", "logicalrdd", "relation",
+            "subqueryalias", "generate", "union", "serializefromobject",
+            "deserializetoobject", "mapelements", "typedfilter", "view",
+            "globallimit", "locallimit",
+        }
+        plan = df._jdf.queryExecution().analyzed().toString()
+        nodes = {
+            m.group(1).lower()
+            for line in plan.splitlines()
+            if (m := re.match(r"[\s:+\-*']*([A-Za-z][A-Za-z0-9]*)", line))
+        }
+        if nodes <= narrow_nodes and df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)
     total = 0

@@ -757,9 +757,12 @@ class ManifestTable:
                         extra = [f for f in cur_files if f not in set(base_files)]
                         if extra:
                             carried_files[b] = extra
-                            carried_gens[b] = max(
-                                gens.get(b, 1) - base_g.get(b, 1), 1
-                            )
+                            # a bucket ABSENT at the base snapshot had zero
+                            # generations there — defaulting to 1 would
+                            # undercount and let a 2-gen bucket publish as
+                            # gens=1, skipping the read-side LWW merge
+                            base_gens = base_g.get(b, 1 if b in base_b else 0)
+                            carried_gens[b] = max(gens.get(b, 1) - base_gens, 1)
                             carried_rows[b] = (
                                 bucket_rows[b] - base_r[b]
                                 if b in bucket_rows and b in base_r

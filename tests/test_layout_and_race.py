@@ -294,3 +294,56 @@ def test_compact_buckets_helper_survives_concurrent_append(spark, tmp_path):
     t2 = ManifestTable(str(tmp_path / "t"))
     assert {"b0", "b1", "b2", "compact-1"} <= t2.committed_batches()
     assert_df_equal(t2.read(spark), brute_force_state(decode_changes(wal)))
+
+
+def test_compaction_rebase_counts_new_bucket_generations(spark, tmp_path):
+    """A bucket CREATED by appends racing a whole-table compaction keeps
+    gens == carried generations: the read path only LWW-merges buckets
+    with gens > 1, so undercounting (the base_g.get(b, 1) default for a
+    bucket absent at the snapshot) would return duplicate keys."""
+    t = ManifestTable(
+        str(tmp_path / "t"), n_buckets=4,
+        key_cols=("conv_id", "turn_idx"), bucket_key="conv_id",
+    )
+
+    def state(rows, lsn, batch):
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        return df.select(
+            "*",
+            F.lit(lsn).cast("long").alias("_lsn"),
+            F.expr(f"timestamp_seconds({lsn})").alias("_mts"),
+            F.lit(False).alias("_deleted"),
+            F.lit(batch).alias("_batch"),
+        )
+
+    # two conv ids that hash to different buckets
+    probe = spark.createDataFrame([(f"c{i}",) for i in range(40)], "conv_id string")
+    bk = {
+        r["conv_id"]: r["b"]
+        for r in probe.select(
+            "conv_id", bucket_expr("conv_id", 4).alias("b")
+        ).collect()
+    }
+    conv_a = next(c for c, b in bk.items() if b == bk["c0"])
+    conv_b = next(c for c, b in bk.items() if b != bk["c0"])
+
+    t.commit(state([(conv_a, 0, "base")], 1, "b0"), "b0", -1, 1, None, mode="append")
+
+    m = t.manifest()
+    staged = t.stage(
+        t.read(spark, with_internal=True, version=m["version"]), "compact-1"
+    )
+    # racing appends create a NEW bucket with TWO generations of one key
+    t.commit(state([(conv_b, 0, "v1")], 10, "b1"), "b1", 9, 10, None, mode="append")
+    t.commit(state([(conv_b, 0, "v2")], 11, "b2"), "b2", 10, 11, None, mode="append")
+
+    t.commit_staged(
+        staged, "compact-1", m["lsn_lo"], m["lsn_hi"], None,
+        mode="replace", base_manifest=m,
+    )
+
+    m2 = ManifestTable(str(tmp_path / "t")).manifest()
+    new_bucket = str(bk[conv_b])
+    assert m2["bucket_gens"][new_bucket] == 2  # undercount would say 1
+    rows = t.read(spark).where(F.col("conv_id") == conv_b).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "v2"  # LWW merged, no dup

@@ -284,3 +284,26 @@ def test_ivf_index_reopen_adopts_meta(spark, emb, tmp_path):
     again = IvfIndex(spark, str(tmp_path / "ivf"))  # fresh open, no build
     assert again.centroids == idx.centroids
     assert sorted(tuple(r) for r in again.topk([1.0, 0.0, 0.0, 0.0], k=3).collect()) == want
+
+
+def test_ivf_index_crashed_append_retry_no_duplicates(spark, emb, tmp_path):
+    """Crash AFTER the parquet write but BEFORE the meta commit, then
+    retry the same batch id: rows must not double (the retry reclaims the
+    unregistered _batch directory instead of appending into it)."""
+    from endor_blockchain_data_pipeline_spark.operators.similarity import IvfIndex
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb.where(F.col("vec_id") < 18), seed_ids=[0, 1, 2])
+
+    real_save = idx._save_meta
+    def boom():
+        raise RuntimeError("injected crash before meta commit")
+    idx._save_meta = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.append(emb.where(F.col("vec_id") >= 18), "b2")
+    idx._save_meta = real_save
+
+    s = idx.append(emb.where(F.col("vec_id") >= 18), "b2")  # retry heals
+    assert s["rows"] == 12 and not s["replayed"]
+    assert idx.read().count() == 30  # no duplicated batch rows
+    assert idx.read().select("vec_id").distinct().count() == 30

@@ -535,3 +535,65 @@ def dedup_simhash(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def word_ngrams(col, n: int = 13):
+    """Array of word n-grams (space-joined n-token windows); docs shorter
+    than n words yield a single whole-text gram. Pure column expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_gram: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — the standard word-13-gram collision
+    check run before any training corpus ships: a training doc that shares
+    ``min_hits`` distinct n-grams with ANY eval/benchmark doc is flagged.
+
+    Scale shape: both sides explode into distinct md5-hashed grams (the
+    hash equi-joins; full gram strings never shuffle); the EVAL side is the
+    small one by construction, so Spark broadcasts it under AQE and the
+    train side streams map-side — O(train grams), no pairwise product.
+    Output: one row per train doc — (id, n_collisions, contaminated).
+    Docs with zero collisions are included (contaminated = false), so the
+    result is a complete verdict table, joinable as a keep-filter.
+    """
+    grams = lambda df: (
+        parallelize_for_fanout(df)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(text_col, n_gram)).alias("g"),
+        )
+        .select(id_col, F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train_g = grams(train)
+    eval_g = evalset.select(
+        F.explode(word_ngrams(text_col, n_gram)).alias("g")
+    ).select(F.md5("g").alias("gh")).distinct()
+    hits = (
+        train_g.join(eval_g, "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_collisions"))
+    )
+    return (
+        train.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_collisions", F.lit(0)).alias("n_collisions"),
+            (F.coalesce("n_collisions", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -617,3 +617,52 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     )
     assert {r["split"] for r in profile} <= {"train", "val", "test"}
     assert sum(r["n_docs"] for r in profile) == n_kept
+
+
+def test_decontaminate_flags_ngram_collisions(spark):
+    """Benchmark decontamination: a train doc containing a copied >=13-word
+    eval passage is flagged; paraphrases and short overlaps are not; the
+    verdict table covers every train doc. Cross-checked against a
+    brute-force python n-gram oracle."""
+    import pyspark.sql.functions as F
+
+    from endor_blockchain_data_pipeline_spark.operators.dedup import decontaminate
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "migratory birds navigate by starlight across quiet continents"
+    )  # 18 words
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text then {passage} and a conclusion"),
+            (2, "completely unrelated content about parquet footers and manifests"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # only 9 words
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, f"benchmark question: {passage}"), (101, "another eval item entirely")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(train, evalset).collect()}
+    assert set(got) == {1, 2, 3}  # complete verdict table
+    assert got[1]["contaminated"] and got[1]["n_collisions"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_collisions"] == 0
+    assert not got[3]["contaminated"]  # shares words, but no 13-gram
+
+    # brute-force oracle over the same texts
+    def ngrams(t, n=13):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    eval_grams = set().union(*(ngrams(t) for _, t in [(100, f"benchmark question: {passage}"), (101, "another eval item entirely")]))
+    for did, text in [(1, f"intro text then {passage} and a conclusion"),
+                      (2, "completely unrelated content about parquet footers and manifests"),
+                      (3, "the quick brown fox jumps over the lazy dog")]:
+        exp = len(ngrams(text) & eval_grams)
+        assert got[did]["n_collisions"] == exp, did
+
+    # the join side meant to broadcast: eval grams reach the plan hashed,
+    # never as raw text
+    plan = decontaminate(train, evalset)._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in plan

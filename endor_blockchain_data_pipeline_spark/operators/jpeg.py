@@ -1,23 +1,26 @@
-"""Baseline JPEG (ITU-T T.81) codec — stdlib + numpy only.
+"""JPEG (ITU-T T.81) codec — baseline + progressive, stdlib + numpy only.
 
 The r4 VERDICT's last "partial": JPEG decode was an env-blocked stub
 because no codec library ships in this container. Baseline sequential
 JPEG, however, is fully specified by public tables (ISO/ITU Annex K) and
 needs nothing beyond huffman + DCT math, so the engine owns a real kernel:
 
-- ``decode_jpeg(data) -> (w, h, rows)``: baseline DCT (SOF0), 8-bit,
+- ``decode_jpeg(data) -> (w, h, rows)``: baseline DCT (SOF0, 8-bit,
   grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
-  intervals. Returns top-down packed BGR rows — the same contract as
-  ``decode_bmp`` / ``decode_png``, so the shared pixel-feature kernel
-  applies unchanged.
+  intervals) AND progressive (SOF2: full spectral selection + successive
+  approximation — DC/AC refinement scans, EOB runs; 4:4:4/gray). Returns
+  top-down packed BGR rows — the same contract as ``decode_bmp`` /
+  ``decode_png``, so the shared pixel-feature kernel applies unchanged.
 - ``encode_jpeg(w, h, rows, quality) -> bytes``: the fixture-side encoder
   (Annex K quant + huffman tables, libjpeg-style quality scaling) used to
   synthesize REAL, viewable JPEGs deterministically in tests — the same
   role ``synthesize_bmp``/``synthesize_png`` play for their codecs.
 
-Anything outside baseline (progressive SOF2, 12-bit, arithmetic coding)
-raises ValueError; the multimodal dispatch degrades those blobs to the
-byte-statistics fallback like any other unsupported codec.
+Progressive decoding is verified by the strongest possible oracle: the
+libjpeg-style scan script reconstructs pixels BIT-IDENTICAL to the
+baseline encoding of the same image (tested). 12-bit, arithmetic-coded,
+and hierarchical streams raise ValueError; the multimodal dispatch
+degrades those blobs to the byte-statistics fallback.
 
 Vectorization: the DCT/IDCT are 8x8 matrix products over numpy float64;
 huffman coding is inherently sequential per bit but touches only the
@@ -359,15 +362,400 @@ def encode_jpeg(
     )
 
 
+# ------------------------------------------------------- progressive encoder
+
+
+# The classic libjpeg-style scan script: DC approximation first, luma AC in
+# two spectral bands at reduced precision, chroma AC, then one refinement
+# pass per band. Exercises every progressive decode path (DC first/refine,
+# AC first with point transform, AC refinement, EOB runs).
+_PROGRESSIVE_SCRIPT = (
+    # (comp indices, Ss, Se, Ah, Al)
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, rows: list[bytes], quality: int = 90
+) -> bytes:
+    """Encode top-down packed BGR rows as a PROGRESSIVE (SOF2) 4:4:4 JFIF
+    JPEG using the libjpeg-style scan script above — the fixture-side
+    counterpart that makes every progressive decoder path testable. Each
+    scan ends its blocks with per-block EOB codes (no cross-block EOB-run
+    accumulation): less entropy-optimal, identical decoded output."""
+    bgr = (
+        np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    b_, g_, r_ = bgr[:, :, 0], bgr[:, :, 1], bgr[:, :, 2]
+    planes = [
+        0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+        -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+        0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0,
+    ]
+    qts = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+    dc_tabs = [_build_enc_table(_DC_LUMA), _build_enc_table(_DC_CHROMA)]
+    ac_tabs = [_build_enc_table(_AC_LUMA), _build_enc_table(_AC_CHROMA)]
+    bx, by = (width + 7) // 8, (height + 7) // 8
+
+    # quantize every block once, in zigzag order
+    coefs = []
+    for ci, plane in enumerate(planes):
+        ti = 0 if ci == 0 else 1
+        arr = np.zeros((by, bx, 64), dtype=np.int64)
+        for my in range(by):
+            for mx in range(bx):
+                ys = np.clip(np.arange(my * 8, my * 8 + 8), 0, height - 1)
+                xs = np.clip(np.arange(mx * 8, mx * 8 + 8), 0, width - 1)
+                block = plane[np.ix_(ys, xs)]
+                qc = np.round((_C @ (block - 128.0) @ _C.T) / qts[ti]).astype(
+                    np.int64
+                )
+                arr[my, mx] = qc[_ZZ_ROWS, _ZZ_COLS]
+        coefs.append(arr)
+
+    def dc_scan(w: _BitWriter, cis, ah, al) -> None:
+        preds = {ci: 0 for ci in cis}
+        for my in range(by):
+            for mx in range(bx):
+                for ci in cis:
+                    ti = 0 if ci == 0 else 1
+                    dc = int(coefs[ci][my, mx, 0])
+                    if ah == 0:
+                        v = dc >> al  # arithmetic shift per spec
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        ssss, bits = _magnitude(diff)
+                        code, ln = dc_tabs[ti][ssss]
+                        w.write(code, ln)
+                        if ssss:
+                            w.write(bits, ssss)
+                    else:
+                        w.write((dc >> al) & 1, 1)
+
+    def ac_first_scan(w: _BitWriter, ci, ss, se, al) -> None:
+        ti = 0 if ci == 0 else 1
+        tab = ac_tabs[ti]
+        for my in range(by):
+            for mx in range(bx):
+                blk = coefs[ci][my, mx]
+                vals = [
+                    (1 if blk[k] >= 0 else -1) * (abs(int(blk[k])) >> al)
+                    for k in range(ss, se + 1)
+                ]
+                last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+                run = 0
+                for i in range(last_nz + 1):
+                    if vals[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = tab[0xF0]
+                        w.write(code, ln)
+                        run -= 16
+                    ssss, bits = _magnitude(vals[i])
+                    code, ln = tab[(run << 4) | ssss]
+                    w.write(code, ln)
+                    w.write(bits, ssss)
+                    run = 0
+                if last_nz < se - ss:  # per-block EOB (EOBRUN = 1)
+                    code, ln = tab[0x00]
+                    w.write(code, ln)
+
+    def ac_refine_scan(w: _BitWriter, ci, ss, se, al) -> None:
+        """Exact mirror of the decoder's G.1.2.3 walk (per-block EOB)."""
+        ti = 0 if ci == 0 else 1
+        tab = ac_tabs[ti]
+
+        for my in range(by):
+            for mx in range(bx):
+                blk = coefs[ci][my, mx]
+
+                def hist(k: int) -> int:  # magnitude at THIS pass's precision
+                    return abs(int(blk[k])) >> al
+
+                k = ss
+                while True:
+                    # next newly-significant coefficient, counting the
+                    # zero-history run before it
+                    j, run = k, 0
+                    while j <= se and hist(j) != 1:
+                        if hist(j) == 0:
+                            run += 1
+                        j += 1
+                    if j > se:
+                        if k <= se:  # EOB covers the tail corrections
+                            code, ln = tab[0x00]
+                            w.write(code, ln)
+                            for p in range(k, se + 1):
+                                if hist(p) > 1:
+                                    w.write(hist(p) & 1, 1)
+                        break
+                    while run > 15:  # ZRL consumes 16 zero-history slots
+                        code, ln = tab[0xF0]
+                        w.write(code, ln)
+                        consumed = 0
+                        while consumed < 16:
+                            if hist(k) == 0:
+                                consumed += 1
+                            else:  # old-significant: correction bit
+                                w.write(hist(k) & 1, 1)
+                            k += 1
+                        run -= 16
+                    code, ln = tab[(run << 4) | 1]
+                    w.write(code, ln)
+                    w.write(1 if blk[j] > 0 else 0, 1)
+                    for p in range(k, j):  # corrections passed over
+                        if hist(p) > 1:
+                            w.write(hist(p) & 1, 1)
+                    k = j + 1
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = [b"\xff\xd8", seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+    for tid, table in enumerate(qts):
+        out.append(
+            seg(0xFFDB, bytes([tid]) + bytes(int(table[y, x]) for y, x in _ZZ))
+        )
+    for cls, tid, spec in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
+    ):
+        bits, vals = spec
+        out.append(seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)))
+    out.append(
+        seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+    )
+    for cis, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        hdr = bytes([len(cis)])
+        for ci in cis:
+            ti = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (ti << 4) | ti])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.append(seg(0xFFDA, hdr))
+        w = _BitWriter()
+        if ss == 0:
+            dc_scan(w, cis, ah, al)
+        elif ah == 0:
+            ac_first_scan(w, cis[0], ss, se, al)
+        else:
+            ac_refine_scan(w, cis[0], ss, se, al)
+        w.flush()
+        out.append(bytes(w.out))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------- decoder
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
-    """Decode a baseline JPEG to (width, height, top-down BGR rows).
+class _ProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) decoding: every scan
+    deposits its spectral band / approximation bits into per-component
+    zigzag-order coefficient arrays; ``reconstruct`` dequantizes + IDCTs
+    once at the end. 4:4:4 / grayscale only (one block per component per
+    MCU, so interleaved DC scans and non-interleaved AC scans walk the
+    same block grid)."""
 
-    Supports SOF0 (baseline sequential), 8-bit, 1 or 3 components with
-    sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals.
-    Raises ValueError on progressive/12-bit/arithmetic streams.
+    def __init__(self, width: int, height: int, comps: list[dict]) -> None:
+        self.width = width
+        self.height = height
+        self.comps = comps
+        self.bx = (width + 7) // 8
+        self.by = (height + 7) // 8
+        self.coefs = {
+            c["id"]: np.zeros((self.by, self.bx, 64), dtype=np.int64)
+            for c in comps
+        }
+
+    def decode_scan(
+        self, b, pos, scan_comps, dc_tabs, ac_tabs, ss, se, ah, al, ri
+    ) -> int:
+        reader = _BitReader(b, pos)
+        preds = {c["id"]: 0 for c in scan_comps}
+        eobrun = 0
+        units = 0
+
+        def restart() -> None:
+            nonlocal eobrun
+            reader.byte_align()
+            if (
+                reader.pos + 1 < len(b)
+                and b[reader.pos] == 0xFF
+                and 0xD0 <= b[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+            for k in preds:
+                preds[k] = 0
+            eobrun = 0
+
+        if ss == 0:  # DC scan (interleaved over scan comps)
+            if se != 0:
+                raise ValueError("DC scan must have Se == 0")
+            for my in range(self.by):
+                for mx in range(self.bx):
+                    if ri and units and units % ri == 0:
+                        restart()
+                    for c in scan_comps:
+                        blk = self.coefs[c["id"]][my, mx]
+                        if ah == 0:  # first pass: diff of (dc >> al)
+                            ssss = reader.read_huff(dc_tabs[c["dc"]])
+                            preds[c["id"]] += _extend(reader.read_bits(ssss), ssss)
+                            blk[0] = preds[c["id"]] << al
+                        else:  # refinement: one magnitude bit
+                            if reader.read_bit():
+                                blk[0] = int(blk[0]) | (1 << al)
+                    units += 1
+            return self._next_marker(reader)
+
+        c = scan_comps[0]  # AC scans are single-component
+        tab = ac_tabs[c["ac"]]
+        for my in range(self.by):
+            for mx in range(self.bx):
+                if ri and units and units % ri == 0:
+                    restart()
+                blk = self.coefs[c["id"]][my, mx]
+                if ah == 0:
+                    eobrun = self._ac_first(reader, tab, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = self._ac_refine(reader, tab, blk, ss, se, al, eobrun)
+                units += 1
+        return self._next_marker(reader)
+
+    @staticmethod
+    def _ac_first(reader, tab, blk, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.read_huff(tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC band overflow")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(reader, tab, blk, ss, se, al, eobrun) -> int:
+        """Spec G.1.2.3 AC successive-approximation refinement: new
+        coefficients arrive as ±1<<al; every already-nonzero coefficient
+        passed over (or covered by an EOB run) absorbs one correction bit."""
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(k: int) -> None:
+            if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                blk[k] = int(blk[k]) + (p1 if blk[k] >= 0 else m1)
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.read_huff(tab)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    @staticmethod
+    def _next_marker(reader) -> int:
+        p = reader.pos
+        while p < len(reader.data) and reader.data[p] != 0xFF:
+            p += 1
+        return p
+
+    def reconstruct(self, qts) -> tuple[int, int, list[bytes]]:
+        planes = {}
+        for c in self.comps:
+            plane = np.zeros((self.by * 8, self.bx * 8))
+            qt = qts[c["tq"]]
+            for my in range(self.by):
+                for mx in range(self.bx):
+                    coef = np.zeros((8, 8))
+                    coef[_ZZ_ROWS, _ZZ_COLS] = self.coefs[c["id"]][my, mx]
+                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                        _C.T @ (coef * qt) @ _C
+                    ) + 128.0
+            planes[c["id"]] = plane[: self.height, : self.width]
+        if len(self.comps) == 1:
+            y = np.clip(planes[self.comps[0]["id"]], 0, 255)
+            rgb = np.stack([y, y, y], axis=2)
+        else:
+            y = planes[self.comps[0]["id"]]
+            cb = planes[self.comps[1]["id"]] - 128.0
+            cr = planes[self.comps[2]["id"]] - 128.0
+            rgb = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=2,
+            )
+        rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        bgr = rgb[:, :, ::-1]
+        return self.width, self.height, [bgr[yy].tobytes() for yy in range(self.height)]
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a baseline OR progressive JPEG to (width, height, top-down
+    BGR rows).
+
+    Baseline (SOF0/1): 8-bit, 1 or 3 components, sampling factors up to
+    2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals. Progressive (SOF2):
+    8-bit 4:4:4 / grayscale, full spectral selection AND successive
+    approximation (DC + AC refinement scans, EOB runs), restart
+    intervals. Raises ValueError on 12-bit / arithmetic / hierarchical
+    streams and on progressive chroma subsampling.
     """
     b = bytes(data)
     if b[:2] != b"\xff\xd8":
@@ -380,6 +768,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
     width = height = 0
     restart_interval = 0
     scan_comps: list[dict] = []
+    progressive = False
+    prog = None  # _ProgressiveState once SOF2 + first SOS seen
 
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -416,7 +806,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
                     (bits, vals)
                 )
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -426,7 +817,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive and any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                raise ValueError("progressive chroma subsampling unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0x{marker:02x} unsupported")
         elif marker == 0xDD:  # DRI
@@ -440,7 +833,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
                 scan_comps.append(
                     {**comp, "dc": tabs >> 4, "ac": tabs & 0xF}
                 )
-            break
+            if not progressive:
+                break
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            if prog is None:
+                prog = _ProgressiveState(width, height, comps)
+            pos = prog.decode_scan(
+                b, pos, scan_comps, dc_tabs, ac_tabs,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
+            )
+    if progressive:
+        if prog is None:
+            raise ValueError("no SOS found")
+        return prog.reconstruct(qts)
     if not scan_comps or not width:
         raise ValueError("no SOS/SOF found")
     for c in scan_comps:

@@ -16,17 +16,19 @@ The decode paths are REAL with the stdlib alone for:
   gray/RGB/RGBA PNGs — zlib inflate + all five scanline unfilters
   (None/Sub/Up/Average/Paeth) — into the same BGR row shape, sharing the
   feature kernel with BMP (identical pixels => identical phash, tested).
-- IMAGE (JPEG): ``operators/jpeg.py`` is a from-scratch baseline JPEG
-  codec (Annex K huffman/quant tables, numpy DCT): 8-bit grayscale/YCbCr,
-  4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals — plus the fixture
-  encoder that synthesizes real viewable JPEGs.
+- IMAGE (JPEG): ``operators/jpeg.py`` is a from-scratch JPEG codec
+  (Annex K huffman/quant tables, numpy DCT): baseline 8-bit
+  grayscale/YCbCr at 4:4:4/4:2:2/4:2:0 with restart intervals AND
+  progressive SOF2 (spectral selection + successive approximation) —
+  plus fixture encoders for both modes.
 - VIDEO (MJPEG AVI): ``demux_mjpeg_avi`` walks the RIFF chunk tree, reads
   the frame clock from ``avih`` and yields JPEG frames; ``sample_frames``
   emits the frame nearest each tick as a decodable JPEG blob.
-Streams outside those envelopes (progressive JPEG, mp4/h264 — a real
-codec-library dependency) fall back to deterministic, clearly-marked
-stubs (``_decode_image_stub`` etc.); the Spark-side plumbing (schemas,
-batching, partitioning, UDF signatures) is identical and tested.
+Streams outside those envelopes (12-bit/arithmetic JPEG, HEIC,
+mp4/h264 — a real codec-library dependency) fall back to deterministic,
+clearly-marked stubs (``_decode_image_stub`` etc.); the Spark-side
+plumbing (schemas, batching, partitioning, UDF signatures) is identical
+and tested.
 
 Scale notes: media rows are large — repartition by size (``target_rows_per
 _partition``) before a decode pass so one straggler blob doesn't serialize
@@ -581,11 +583,11 @@ def decode_png(data: bytes) -> tuple[int, int, list[bytes]]:
 
 def _decode_image_stub(data: bytes) -> dict:
     """Fallback kernel for streams OUTSIDE the engine's real codecs (BMP,
-    PNG, baseline JPEG, WAV, MJPEG-AVI): progressive/arithmetic JPEG,
-    HEIC, mp4/h264 etc. genuinely need external codec libraries absent
-    from this container — those blobs get deterministic byte statistics
-    instead of pixels, and malformed blobs the real decoders reject
-    degrade here too (one odd blob never aborts a corpus pass)."""
+    PNG, baseline+progressive JPEG, WAV, MJPEG-AVI): 12-bit/arithmetic
+    JPEG, HEIC, mp4/h264 etc. genuinely need external codec libraries
+    absent from this container — those blobs get deterministic byte
+    statistics instead of pixels, and malformed blobs the real decoders
+    reject degrade here too (one odd blob never aborts a corpus pass)."""
     b = bytes(data)
     mean, ent = _byte_stats(b)
     phash = "".join(f"{x:02x}" for x in b[:8])
@@ -614,8 +616,8 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             except Exception:
                 return _decode_image_stub(b)
         if b[:2] == b"\xff\xd8":
-            # Same degrade rule: the magic also matches progressive /
-            # 12-bit / arithmetic streams the baseline kernel refuses.
+            # Same degrade rule: the magic also matches 12-bit /
+            # arithmetic / malformed streams the kernel refuses.
             try:
                 return _decode_jpeg_features(b)
             except Exception:

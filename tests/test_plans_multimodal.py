@@ -635,3 +635,57 @@ def test_synthesize_bmp_stable_after_refactor():
         + b"".join(rows)
     )
     assert synthesize_bmp(media_id, seed, width, height) == old
+
+
+def test_progressive_jpeg_decodes_bit_identical_to_baseline():
+    """Progressive (SOF2) decode: the libjpeg-style scan script (DC
+    successive approximation, split spectral bands at reduced precision,
+    AC refinement passes with EOB runs) reconstructs EXACTLY the pixels of
+    the baseline encoding at the same quality — any bug in the point
+    transforms, corrections, or EOB-run bookkeeping would corrupt this."""
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _md5_pixel_rows,
+    )
+
+    for w, h in ((24, 16), (21, 13)):
+        rows = _md5_pixel_rows(7, 42, w, h)
+        for q in (75, 100):
+            base = decode_jpeg(encode_jpeg(w, h, rows, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(w, h, rows, quality=q))
+            assert base[0] == prog[0] and base[1] == prog[1]
+            assert all(a == b for a, b in zip(base[2], prog[2]))
+
+
+def test_image_features_dispatch_progressive_jpeg(spark):
+    """A real progressive JPEG flows through the REAL decoder in the
+    feature pass — same features as its baseline twin."""
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _md5_pixel_rows,
+        extract_image_features,
+    )
+
+    rows_px = _md5_pixel_rows(3, 42, 16, 12)
+    base = encode_jpeg(16, 12, rows_px, quality=100)
+    prog = encode_jpeg_progressive(16, 12, rows_px, quality=100)
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/jpeg", bytearray(base), 16, 12, None),
+            (2, "image", "image/jpeg", bytearray(prog), 16, 12, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: (r["phash"], r["byte_mean"])
+        for r in extract_image_features(media).collect()
+    }
+    assert got[1] == got[2]  # identical pixels, identical features

@@ -24,8 +24,12 @@ The decode paths are REAL with the stdlib alone for:
 - VIDEO (MJPEG AVI): ``demux_mjpeg_avi`` walks the RIFF chunk tree, reads
   the frame clock from ``avih`` and yields JPEG frames; ``sample_frames``
   emits the frame nearest each tick as a decodable JPEG blob.
-Streams outside those envelopes (12-bit/arithmetic JPEG, HEIC,
-mp4/h264 — a real codec-library dependency) fall back to deterministic,
+- VIDEO (MP4/ISO BMFF): ``operators/mp4.py`` muxes and demuxes the box
+  tree + sample tables (``stts``/``stsz``/``stsc``/``stco``/``co64``)
+  for MJPEG-sample MP4s — same ``(uspf, frames)`` contract as the AVI
+  path, shared frame-tick sampling.
+Streams outside those envelopes (12-bit/arithmetic JPEG, HEIC, the
+h264/HEVC bitstreams — a real codec-library dependency) fall back to deterministic,
 clearly-marked stubs (``_decode_image_stub`` etc.); the Spark-side
 plumbing (schemas, batching, partitioning, UDF signatures) is identical
 and tested.
@@ -737,40 +741,82 @@ def synthesize_mjpeg_media(
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _pick_ticks(
+    n_frames: int, uspf: int, every_ms: int, max_frames: int
+) -> list[int]:
+    """Frame indices nearest each ``every_ms`` tick, deduped, capped."""
+    picked: list[int] = []
+    for k in range(max_frames):
+        idx = round(k * every_ms * 1000 / uspf)
+        if idx >= n_frames:
+            break
+        if picked and idx == picked[-1]:
+            continue
+        picked.append(idx)
+    return picked
+
+
+def synthesize_mp4_media(
+    spark, n: int = 6, seed: int = 42, n_frames: int = 12, fps: int = 10
+) -> DataFrame:
+    """Media table of REAL MP4 blobs: each frame is a distinct md5 test
+    image encoded by the engine's JPEG codec, muxed by ``mux_mjpeg_mp4``
+    (driver-built fixture). Varies the chunking so demux exercises
+    multi-chunk ``stsc`` runs, not just the single-chunk layout."""
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from endor_blockchain_data_pipeline_spark.operators.mp4 import mux_mjpeg_mp4
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i * 8) % 16, 16
+        frames = [
+            encode_jpeg(w, h, _md5_pixel_rows(i * 1000 + f, seed, w, h))
+            for f in range(n_frames)
+        ]
+        blob = mux_mjpeg_mp4(
+            frames, w, h, fps=fps, frames_per_chunk=(0, 5, 1)[i % 3]
+        )
+        rows.append(
+            (i, "video", "video/mp4", bytearray(blob), w, h,
+             n_frames * 1000 // fps)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 10_000, max_frames: int = 8) -> DataFrame:
     """video rows -> sampled frame rows (row expansion inside mapInPandas).
 
-    MJPEG AVI blobs take the REAL demuxer: frames are located by the
-    container's own frame clock (``avih`` microseconds/frame), the frame
+    MJPEG AVI **and** MP4 (ISO BMFF) blobs take the REAL demuxers: frames
+    are located by the container's own frame clock (``avih``
+    microseconds/frame; ``stts``/``mdhd`` decode deltas), the frame
     nearest each ``every_ms`` tick is emitted as its full JPEG blob —
-    decodable downstream by ``extract_image_features``. Other containers
-    (env-blocked codecs) fall back to the deterministic byte-slice stub,
-    same shape."""
+    decodable downstream by ``extract_image_features``. Containers whose
+    bitstreams are env-blocked (h264 etc.) fall back to the deterministic
+    byte-slice stub, same shape."""
+    from endor_blockchain_data_pipeline_spark.operators.mp4 import demux_mjpeg_mp4
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data, dur in zip(pdf["media_id"], pdf["data"], pdf["duration_ms"]):
                 blob = bytes(data)
+                demux = None
                 if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    demux = demux_mjpeg_avi
+                elif len(blob) >= 12 and blob[4:8] == b"ftyp":
+                    demux = demux_mjpeg_mp4
+                if demux is not None:
                     # Same degrade rule as every decode path: a truncated
-                    # avih / corrupt chunk tree / frameless (audio-only)
-                    # AVI falls through to the byte-slice stub instead of
-                    # aborting the corpus pass or silently dropping the row.
+                    # header / corrupt box-or-chunk tree / frameless
+                    # (audio-only) container falls through to the
+                    # byte-slice stub instead of aborting the corpus pass
+                    # or silently dropping the row.
                     try:
-                        uspf, frames = demux_mjpeg_avi(blob)
+                        uspf, frames = demux(blob)
                     except Exception:
                         frames = []
                     if frames:
-                        picked: list[int] = []
-                        for k in range(max_frames):
-                            idx = round(k * every_ms * 1000 / uspf)
-                            if idx >= len(frames):
-                                break
-                            if picked and idx == picked[-1]:
-                                continue
-                            picked.append(idx)
-                        for idx in picked:
+                        for idx in _pick_ticks(len(frames), uspf, every_ms, max_frames):
                             rows.append(
                                 {
                                     "media_id": mid,

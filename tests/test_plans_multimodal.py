@@ -689,3 +689,82 @@ def test_image_features_dispatch_progressive_jpeg(spark):
         for r in extract_image_features(media).collect()
     }
     assert got[1] == got[2]  # identical pixels, identical features
+
+
+def test_mp4_mux_demux_roundtrip():
+    """ISO BMFF mux -> demux returns exact frame blobs + frame clock, for
+    single-chunk, multi-chunk (stsc runs), and 64-bit (largesize/co64)
+    layouts."""
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from endor_blockchain_data_pipeline_spark.operators.mp4 import (
+        demux_mjpeg_mp4,
+        mux_mjpeg_mp4,
+    )
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _md5_pixel_rows,
+    )
+
+    frames = [
+        encode_jpeg(16, 16, _md5_pixel_rows(f, 42, 16, 16)) for f in range(7)
+    ]
+    for kw in (
+        {},
+        {"frames_per_chunk": 3},  # chunks of 3,3,1 -> two stsc runs
+        {"frames_per_chunk": 2, "large": True},  # largesize mdat + co64
+    ):
+        blob = mux_mjpeg_mp4(frames, 16, 16, fps=10, **kw)
+        uspf, got = demux_mjpeg_mp4(blob)
+        assert uspf == 100_000, kw
+        assert got == frames, kw
+
+
+def test_mp4_demux_rejects_corrupt():
+    """Truncation / non-BMFF input raises (sample_frames then degrades)."""
+    import pytest as _pytest
+
+    from endor_blockchain_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from endor_blockchain_data_pipeline_spark.operators.mp4 import (
+        demux_mjpeg_mp4,
+        mux_mjpeg_mp4,
+    )
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _md5_pixel_rows,
+    )
+
+    frames = [encode_jpeg(16, 16, _md5_pixel_rows(0, 42, 16, 16))]
+    blob = mux_mjpeg_mp4(frames, 16, 16)
+    with _pytest.raises(ValueError):
+        demux_mjpeg_mp4(b"\x00" * 40)  # not BMFF
+    with _pytest.raises(ValueError):
+        demux_mjpeg_mp4(blob[: len(blob) // 2])  # moov truncated away
+    # mdat shorter than the sample table claims -> range check fires
+    cut = blob[:40]
+    with _pytest.raises(ValueError):
+        demux_mjpeg_mp4(cut)
+
+
+def test_sample_frames_real_mp4_path(spark):
+    """sample_frames on MP4 media: same frame clock, same decodable JPEG
+    payloads as the AVI path over identical source frames."""
+    from endor_blockchain_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg_features,
+        sample_frames,
+        synthesize_mjpeg_media,
+        synthesize_mp4_media,
+    )
+
+    mp4 = synthesize_mp4_media(spark, n=3, n_frames=12, fps=10)
+    avi = synthesize_mjpeg_media(spark, n=3, n_frames=12, fps=10)
+    got_mp4 = sample_frames(mp4, every_ms=500, max_frames=4).collect()
+    got_avi = sample_frames(avi, every_ms=500, max_frames=4).collect()
+
+    key = lambda r: (r["media_id"], r["frame_idx"])
+    m4 = {key(r): r for r in got_mp4}
+    av = {key(r): r for r in got_avi}
+    assert set(m4) == set(av) and len(m4) == 9  # 3 media x frames 0,5,10
+    for k in m4:
+        assert m4[k]["frame_ms"] == av[k]["frame_ms"]
+        # identical source frames -> byte-identical JPEGs via BOTH containers
+        assert bytes(m4[k]["frame"]) == bytes(av[k]["frame"])
+        f = _decode_jpeg_features(bytes(m4[k]["frame"]))
+        assert f["n_bytes"] == len(bytes(m4[k]["frame"]))

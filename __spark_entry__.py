@@ -323,12 +323,26 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality + language-ID + Gopher-style repetition signals, all as one
+    map-only projection (no explode/groupBy — survives 100 TB as a single
+    scan)."""
+    from endor_blockchain_data_pipeline_spark.functions.text import (
+        dup_bigram_frac_expr,
+        dup_line_frac_expr,
+        dup_word_frac_expr,
+        symbol_word_ratio_expr,
+    )
+
     d = parallelize_for_fanout(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         quality_score_expr("text").alias("quality"),
         lang_guess_expr("text").alias("lang_guess"),
         stopword_hits_expr("text", "en").alias("en_stopwords"),
+        dup_line_frac_expr("text").alias("dup_line_frac"),
+        dup_word_frac_expr("text").alias("dup_word_frac"),
+        dup_bigram_frac_expr("text").alias("dup_bigram_frac"),
+        symbol_word_ratio_expr("text").alias("symbol_word_ratio"),
     )
 
 
@@ -414,12 +428,26 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_MIX_RATES = {"en": 0.5, "de": 1.0}  # downsample en, keep de, rest 25%
+CORPUS_MIX_DEFAULT = 0.25
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus QA profile in one pass: per-language doc counts, text-length
     stats (exact), empty/short-doc counts — the health check a curation
-    pipeline runs before and after every transform."""
+    pipeline runs before and after every transform. ``n_sampled`` is the
+    deterministic stratified training-mix sample (per-language rates,
+    content-hash Bernoulli — reproducible on any engine/layout)."""
+    from endor_blockchain_data_pipeline_spark.functions.text import (
+        sample_stratified_expr,
+    )
+
+    keep = sample_stratified_expr(
+        "doc_id", "lang", CORPUS_MIX_RATES, default_rate=CORPUS_MIX_DEFAULT
+    )
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_sampled"),
         F.count("*").alias("n_docs"),
         F.sum(F.length("text").cast("long")).alias("total_chars"),
         F.min(F.length("text")).alias("min_len"),
@@ -1580,8 +1608,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "hash_split": _build_hash_split_pack_sql(),
-        "corpus_profile": """
+        "corpus_profile": f"""
             SELECT lang,
+                   CAST(SUM(CASE WHEN {_sql_strat_keep()} THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sampled,
                    count(*) AS n_docs,
                    CAST(SUM(len(text)) AS BIGINT) AS total_chars,
                    CAST(MIN(len(text)) AS INTEGER) AS min_len,
@@ -1709,12 +1739,71 @@ def _build_quality_langid_sql() -> str:
                1.0 - least((CASE WHEN n = 0 THEN 0.0
                                  ELSE CAST(punct_n AS DOUBLE) / n END) * 4, 1.0) AS punct_score,
                CASE WHEN mean_word >= 3 AND mean_word <= 10 THEN 1.0 ELSE 0.5 END AS word_score
-        FROM scored)
-      SELECT doc_id,
+        FROM scored),
+      {_sql_repetition_cte()}
+      SELECT f.doc_id,
              round(len_score * 0.4 + punct_score * 0.3 + word_score * 0.3, 4) AS quality,
              {lang_case} AS lang_guess,
-             {hits['en']} AS en_stopwords
-      FROM final
+             {hits['en']} AS en_stopwords,
+             r.dup_line_frac, r.dup_word_frac, r.dup_bigram_frac,
+             r.symbol_word_ratio
+      FROM final f JOIN rep r USING (doc_id)
+    """
+
+
+def _sql_strat_keep() -> str:
+    """DuckDB twin of the corpus-mix stratified keep decision: same 60-bit
+    md5 hash, same per-stratum INTEGER thresholds — no floats anywhere."""
+    from endor_blockchain_data_pipeline_spark.functions.text import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "strat")
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {int(r * (1 << 60))}"
+        for k, r in CORPUS_MIX_RATES.items()
+    )
+    return f"{h} < (CASE {cases} ELSE {int(CORPUS_MIX_DEFAULT * (1 << 60))} END)"
+
+
+def _sql_repetition_cte() -> str:
+    """DuckDB twin of the repetition-signal expressions: every fraction is
+    the same single int-int subtraction + one division, so the doubles are
+    bit-identical to Spark's (the gate hashes exact floats)."""
+    return r"""
+      rep AS (
+        SELECT doc_id,
+          CASE WHEN nl = 0 THEN 0.0
+               ELSE CAST(nl - dl AS DOUBLE) / CAST(nl AS DOUBLE) END AS dup_line_frac,
+          CASE WHEN nw = 0 THEN 0.0
+               ELSE CAST(nw - dw AS DOUBLE) / CAST(nw AS DOUBLE) END AS dup_word_frac,
+          CASE WHEN nw < 2 THEN 0.0
+               ELSE CAST(nb - db AS DOUBLE) / CAST(nb AS DOUBLE) END AS dup_bigram_frac,
+          CASE WHEN toks = 0 THEN 0.0
+               ELSE CAST(syms AS DOUBLE) / CAST(toks AS DOUBLE) END AS symbol_word_ratio
+        FROM (
+          SELECT doc_id,
+                 len(lines) AS nl, len(list_distinct(lines)) AS dl,
+                 len(ws) AS nw, len(list_distinct(ws)) AS dw,
+                 len(bg) AS nb, len(list_distinct(bg)) AS db,
+                 toks,
+                 len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.')) AS syms
+          FROM (
+            SELECT doc_id, text, toks,
+                   list_filter(string_split(text, chr(10)),
+                               x -> len(trim(x)) > 0) AS lines,
+                   ws,
+                   CASE WHEN len(ws) < 2 THEN []
+                        ELSE list_transform(generate_series(1, len(ws) - 1),
+                                            i -> ws[i] || ' ' || ws[i + 1])
+                   END AS bg
+            FROM (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+                     CASE WHEN len(trim(lower(text))) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS ws
+              FROM documents))))
     """
 
 

@@ -123,6 +123,125 @@ def hash_split_expr(
     return out
 
 
+def sample_keep_expr(
+    id_col: Column | str, rate: float, salt: str = "sample"
+) -> Column:
+    """Deterministic Bernoulli(rate) keep-decision by content hash.
+
+    ``uniform < rate`` is evaluated as a PURE INTEGER comparison — the
+    first 60 md5 bits as BIGINT vs ``floor(rate * 2^60)`` — so there is no
+    float anywhere: the same id keeps/drops identically on any engine,
+    cluster size, or file layout (seeded ``sample()`` is none of those),
+    and the DuckDB oracle reproduces it verbatim. Different ``salt``
+    values give independent samples of the same corpus.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    threshold = int(rate * (1 << 60))
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h < F.lit(threshold)
+
+
+def sample_stratified_expr(
+    id_col: Column | str,
+    strata_col: Column | str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> Column:
+    """Per-stratum deterministic sampling — the training-mix composition
+    step (downsample over-represented sources/languages, keep the rest).
+    One hash, per-stratum integer thresholds; a projection-only pass."""
+    s = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    for r in list(rates.values()) + [default_rate]:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate must be in [0,1], got {r}")
+    out = F.lit(int(default_rate * (1 << 60)))
+    for name, r in rates.items():
+        out = F.when(s == name, F.lit(int(r * (1 << 60)))).otherwise(out)
+    return h < out
+
+
+def sample_hash_sql(id_expr: str, salt: str) -> str:
+    """DuckDB twin of the 60-bit sampling hash (shared by the oracles)."""
+    return (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_expr} AS VARCHAR)), 1, 15))::BIGINT"
+    )
+
+
+def _dup_frac(n: Column, d: Column) -> Column:
+    """(n - d) / n as ONE int-int subtraction + ONE correctly-rounded
+    division — both engines produce the identical IEEE double, so the
+    driver's exact-float hash matches (no multi-step float pipelines)."""
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - d).cast("double") / n.cast("double")
+    )
+
+
+def dup_line_frac_expr(col: Column | str) -> Column:
+    """Fraction of non-blank lines that are exact repeats of an earlier
+    line — the strongest boilerplate signal in the Gopher repetition
+    family (nav bars, cookie banners, license headers)."""
+    lines = F.filter(
+        F.split(_c(col), "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    return _dup_frac(F.size(lines), F.size(F.array_distinct(lines)))
+
+
+def _words(col: Column | str) -> Column:
+    c = F.trim(F.lower(_c(col)))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+
+
+def dup_word_frac_expr(col: Column | str) -> Column:
+    """Fraction of (case-folded) word occurrences beyond each word's first
+    appearance. High values mean keyword stuffing / degenerate repetition."""
+    ws = _words(col)
+    return _dup_frac(F.size(ws), F.size(F.array_distinct(ws)))
+
+
+def dup_bigram_frac_expr(col: Column | str) -> Column:
+    """Duplicate word-2-gram fraction (Gopher's dup-n-gram family, n=2).
+
+    Bigrams are built positionally inside one ``transform`` over a
+    ``sequence`` — no explode, no per-doc groupBy, so the whole signal
+    stays a projection (scales as a map-only pass at 100 TB)."""
+    ws = _words(col)
+    n = F.size(ws)
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    # sequence(1, 0) would run DESCENDING in Spark — guard short docs first
+    return F.when(n < 2, F.lit(0.0)).otherwise(
+        _dup_frac(F.size(bg), F.size(F.array_distinct(bg)))
+    )
+
+
+def symbol_word_ratio_expr(col: Column | str) -> Column:
+    """Gopher symbol-to-word ratio: '#' and ellipsis occurrences per word
+    (templated/scraped pages score high)."""
+    c = _c(col)
+    toks = token_count_expr(col)
+    syms = F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        syms.cast("double") / toks.cast("double")
+    )
+
+
 def fingerprint_expr(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (portable across
     engines — used as the exact-dedup key)."""

@@ -666,3 +666,94 @@ def test_decontaminate_flags_ngram_collisions(spark):
     # never as raw text
     plan = decontaminate(train, evalset)._jdf.queryExecution().executedPlan().toString()
     assert "md5" in plan
+
+
+def test_repetition_signals_hand_values(spark):
+    """Gopher-style repetition fractions on hand-built texts: exact
+    expected values (each fraction is one int division)."""
+    import pyspark.sql.functions as F
+
+    from endor_blockchain_data_pipeline_spark.functions.text import (
+        dup_bigram_frac_expr,
+        dup_line_frac_expr,
+        dup_word_frac_expr,
+        symbol_word_ratio_expr,
+    )
+
+    rows = [
+        # 4 non-blank lines, 2 distinct -> dup_line 0.5
+        (1, "nav\nnav\n\nbody\nnav"),
+        # words: a a a b  -> dup_word 2/4; bigrams: 'a a','a a','a b' -> 1/3
+        (2, "a a a b"),
+        # '# # ...' over 3 words -> symbol ratio 3/3 = 1.0
+        (3, "# tag # more ..."),
+        (4, ""),  # empty: all zeros
+        (5, "unique words only here"),  # no repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_line_frac_expr("text").alias("dl"),
+            dup_word_frac_expr("text").alias("dw"),
+            dup_bigram_frac_expr("text").alias("db"),
+            symbol_word_ratio_expr("text").alias("sw"),
+        ).collect()
+    }
+    assert got[1]["dl"] == 0.5
+    assert got[2]["dw"] == 0.5 and abs(got[2]["db"] - 1 / 3) < 1e-15
+    assert got[3]["sw"] == 3 / 5  # 2 '#' + 1 '...' over 5 tokens
+    assert (got[4]["dl"], got[4]["dw"], got[4]["db"], got[4]["sw"]) == (0, 0, 0, 0)
+    assert got[5]["dw"] == 0.0 and got[5]["db"] == 0.0
+
+
+def test_stratified_sample_deterministic(spark):
+    """sample_stratified_expr: per-stratum rates hold (+-3% at n=4000),
+    the decision is layout-independent (repartition changes nothing), and
+    different salts give independent samples."""
+    import pyspark.sql.functions as F
+
+    from endor_blockchain_data_pipeline_spark.functions.text import (
+        sample_keep_expr,
+        sample_stratified_expr,
+    )
+
+    df = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    keep = sample_stratified_expr("doc_id", "lang", {"en": 0.25, "de": 0.75})
+    counts = {
+        r["lang"]: r["n"]
+        for r in df.where(keep).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["en"] / 4000 - 0.25) < 0.03
+    assert abs(counts["de"] / 4000 - 0.75) < 0.03
+
+    ids = sorted(r["doc_id"] for r in df.where(keep).select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in df.repartition(13).where(keep).select("doc_id").collect()
+    )
+    assert ids == ids2  # pure content hash: layout cannot change the sample
+
+    # independent salts: overlap of two 25% samples ~ 6.25%, not 25%
+    k1 = df.where(sample_keep_expr("doc_id", 0.25, salt="s1"))
+    k2 = df.where(sample_keep_expr("doc_id", 0.25, salt="s2"))
+    overlap = k1.join(k2, "doc_id").count()
+    assert overlap < 0.12 * 8000  # far below the correlated 0.25 * 8000
+
+
+def test_sample_rate_bounds():
+    import pytest as _pytest
+
+    from endor_blockchain_data_pipeline_spark.functions.text import (
+        sample_keep_expr,
+        sample_stratified_expr,
+    )
+
+    with _pytest.raises(ValueError):
+        sample_keep_expr("doc_id", 1.5)
+    with _pytest.raises(ValueError):
+        sample_stratified_expr("doc_id", "lang", {"en": -0.1})

@@ -305,6 +305,17 @@ if __name__ == "__main__":
         "the corpus-wide keep ratio. Idempotent per BATCH_ID.",
     )
     ap.add_argument(
+        "--curate",
+        default=None,
+        metavar="DOCS_PARQUET:OUT_DIR[:EVAL_PARQUET]",
+        help="corpus curation mode: run the full training-data funnel "
+        "(quality/repetition filter -> exact dedup -> MinHash-LSH "
+        "near-dedup -> benchmark decontamination vs EVAL_PARQUET if given "
+        "-> sequence packing) over DOCS_PARQUET; writes OUT_DIR/verdicts "
+        "(per-doc stage flags + final_keep) and OUT_DIR/packed; prints "
+        "the funnel",
+    )
+    ap.add_argument(
         "--feed",
         default=None,
         metavar="KIND:PATH",
@@ -344,6 +355,32 @@ if __name__ == "__main__":
             f"via {stats.get('fold', 'replay')}; corpus now {agg['n']} docs, "
             f"{agg['kept']} kept ({100 * agg['kept'] / max(agg['n'], 1):.1f}%) "
             f"in {time.time() - t0:.1f}s; index at {index_dir}"
+        )
+        raise SystemExit(0)
+    if args.curate:
+        from endor_blockchain_data_pipeline_spark.operators.curate import (
+            curate_corpus,
+        )
+
+        parts = args.curate.split(":")
+        if len(parts) not in (2, 3):
+            raise SystemExit("--curate needs DOCS_PARQUET:OUT_DIR[:EVAL_PARQUET]")
+        docs = spark.read.parquet(parts[0])
+        evalset = spark.read.parquet(parts[2]) if len(parts) == 3 else None
+        strata = "lang" if "lang" in docs.columns else None
+        t0 = time.time()
+        funnel = curate_corpus(spark, docs, parts[1], evalset, strata_col=strata)
+        steps = " -> ".join(
+            f"{k}={funnel[k]}"
+            for k in (
+                "input", "after_quality", "after_exact_dedup",
+                "after_near_dedup", "after_decontamination", "final",
+            )
+        )
+        print(
+            f"curate: {steps}; {funnel['n_packs']} packs "
+            f"({funnel['full_packs']} full) in {time.time() - t0:.1f}s; "
+            f"verdicts+packed at {parts[1]}"
         )
         raise SystemExit(0)
     if args.dedup:

@@ -316,6 +316,24 @@ if __name__ == "__main__":
         "the funnel",
     )
     ap.add_argument(
+        "--curate-transcripts",
+        default=None,
+        metavar="TABLE_DIR:OUT_DIR[:EVAL_PARQUET]",
+        help="curate the CDC lake's conversation state: reassemble each "
+        "conversation's transcript (stable turn order) and run the same "
+        "funnel as --curate, keyed by conv_id",
+    )
+    ap.add_argument(
+        "--curate-opt",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override a curation-funnel threshold (repeatable), e.g. "
+        "--curate-opt dup_word_max=0.8 --curate-opt quality_min=0.4 "
+        "--curate-opt budget_tokens=2048; numbers are parsed, anything "
+        "else passes through as a string",
+    )
+    ap.add_argument(
         "--feed",
         default=None,
         metavar="KIND:PATH",
@@ -357,19 +375,36 @@ if __name__ == "__main__":
             f"in {time.time() - t0:.1f}s; index at {index_dir}"
         )
         raise SystemExit(0)
-    if args.curate:
+    if args.curate or args.curate_transcripts:
         from endor_blockchain_data_pipeline_spark.operators.curate import (
             curate_corpus,
+            curate_transcripts,
         )
 
-        parts = args.curate.split(":")
+        spec = args.curate or args.curate_transcripts
+        parts = spec.split(":")
         if len(parts) not in (2, 3):
-            raise SystemExit("--curate needs DOCS_PARQUET:OUT_DIR[:EVAL_PARQUET]")
-        docs = spark.read.parquet(parts[0])
+            raise SystemExit("curate modes need SRC:OUT_DIR[:EVAL_PARQUET]")
         evalset = spark.read.parquet(parts[2]) if len(parts) == 3 else None
-        strata = "lang" if "lang" in docs.columns else None
+        opts = {}
+        for kv in args.curate_opt:
+            k, sep, v = kv.partition("=")
+            if not sep:
+                raise SystemExit(f"--curate-opt needs KEY=VALUE, got {kv!r}")
+            try:
+                opts[k] = int(v) if v.lstrip("-").isdigit() else float(v)
+            except ValueError:
+                opts[k] = v
         t0 = time.time()
-        funnel = curate_corpus(spark, docs, parts[1], evalset, strata_col=strata)
+        if args.curate:
+            docs = spark.read.parquet(parts[0])
+            strata = "lang" if "lang" in docs.columns else None
+            opts.setdefault("strata_col", strata)
+            funnel = curate_corpus(spark, docs, parts[1], evalset, **opts)
+        else:
+            funnel = curate_transcripts(
+                spark, parts[0], parts[1], evalset, **opts
+            )
         steps = " -> ".join(
             f"{k}={funnel[k]}"
             for k in (

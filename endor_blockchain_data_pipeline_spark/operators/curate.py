@@ -46,6 +46,54 @@ from endor_blockchain_data_pipeline_spark.operators.dedup import (
 STAGES = ("quality", "exact", "near", "decont", "mix")
 
 
+def transcripts_as_documents(
+    state: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """LWW conversation state -> one document per conversation.
+
+    The bridge between the engine's two halves: the CDC lake's merged
+    transcript state becomes a curation corpus. Turn order is made stable
+    the same way the replay invariant is checked (``array_sort`` over
+    (turn_idx, ...) structs inside ONE aggregation — no global sort;
+    turn_idx is unique per conversation post-LWW, so the ordering is
+    total). Text is ``role: text`` lines joined by newlines, so the
+    repetition signals see real line structure."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(turn_col, role_col, text_col))
+    )
+    lines = F.transform(
+        ordered, lambda t: F.concat_ws(": ", t[role_col], t[text_col])
+    )
+    return state.groupBy(conv_col).agg(
+        F.concat_ws("\n", lines).alias("text"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+def curate_transcripts(
+    spark: SparkSession,
+    table_dir: str,
+    out_dir: str,
+    evalset: DataFrame | None = None,
+    **kw,
+) -> dict:
+    """Run the curation funnel over a CDC lake table's conversation state:
+    read the LWW-merged table, reassemble per-conversation transcripts,
+    curate them as documents keyed by ``conv_id``."""
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+
+    state = ManifestTable(table_dir).read(spark)
+    docs = transcripts_as_documents(state)
+    kw.setdefault("strata_col", None)
+    return curate_corpus(
+        spark, docs, out_dir, evalset, id_col="conv_id", **kw
+    )
+
+
 def curate_corpus(
     spark: SparkSession,
     docs: DataFrame,

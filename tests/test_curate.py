@@ -111,3 +111,58 @@ def test_curate_cli(spark, corpus, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     line = [l for l in r.stdout.splitlines() if l.startswith("curate:")][-1]
     assert "input=7" in line and "final=3" in line  # no mix rates in CLI
+
+
+def test_curate_transcripts_from_lake(spark, tmp_path):
+    """The CDC->curation bridge: LWW lake state reassembles into per-conv
+    documents (stable turn order, tombstones excluded) and runs the same
+    funnel keyed by conv_id."""
+    from endor_blockchain_data_pipeline_spark.operators.curate import (
+        curate_transcripts,
+        transcripts_as_documents,
+    )
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+
+    CLOSE = "that is all for today thanks for the help and goodbye"
+    turns = [(0, "user", BASE), (1, "assistant", GOOD), (2, "user", CLOSE)]
+    rows = []
+    # "good-1": committed OUT of turn order; plus a tombstoned turn 3.
+    for i, (ti, role, txt) in enumerate(reversed(turns)):
+        rows.append(("good-1", ti, role, txt, 10 + i, False))
+    rows.append(("good-1", 3, "assistant", "DELETED TURN", 13, True))
+    # "dup-1": identical turns in order -> identical transcript -> exact dup.
+    for i, (ti, role, txt) in enumerate(turns):
+        rows.append(("dup-1", ti, role, txt, 20 + i, False))
+    # "junk": one hyper-repetitive turn -> dup-word quality gate drops it.
+    rows.append(("junk", 0, "user", " ".join(["spam"] * 40), 30, False))
+    state = (
+        spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "_lsn long, _deleted boolean",
+        )
+        .withColumn("_mts", F.col("_lsn"))
+        .withColumn("_batch", F.lit("b1"))
+    )
+    table_dir = str(tmp_path / "tbl")
+    t = ManifestTable(table_dir, n_buckets=4)
+    t.commit(state, "b1", 0, 99, None)
+
+    # Reassembly: turn order stable regardless of commit order; the
+    # tombstoned turn never appears; text is "role: text" lines.
+    docs = transcripts_as_documents(t.read(spark))
+    row = docs.where(F.col("conv_id") == "good-1").head()
+    assert row["n_turns"] == 3
+    assert row["text"] == (
+        f"user: {BASE}\nassistant: {GOOD}\nuser: {CLOSE}"
+    )
+
+    out = str(tmp_path / "cur")
+    funnel = curate_transcripts(spark, table_dir, out)
+    assert funnel["input"] == 3
+    assert funnel["after_quality"] == 2          # -junk
+    assert funnel["after_exact_dedup"] == 1      # -dup-1 (== good-1)
+    assert funnel["final"] == 1
+    kept = spark.read.parquet(f"{out}/packed").select("conv_id").collect()
+    # exact dedup keeps the min-id representative: "dup-1" < "good-1"
+    assert {r["conv_id"] for r in kept} == {"dup-1"}

@@ -193,6 +193,43 @@ class CDCJob:
         """Current logical table state (tombstones dropped, internals hidden)."""
         return self.table.read(self.spark)
 
+    def run_with_curation(
+        self,
+        batch_size: int,
+        curation,
+        limit_batches: int | None = None,
+    ) -> list[dict]:
+        """Catch-up loop with the curation funnel riding each batch: apply
+        the (lo, hi] range, then fold exactly that range's touched
+        conversations into the :class:`LiveCuration` state — O(changes) for
+        BOTH halves, per batch.
+
+        Resume point = min(apply watermark, curation watermark): a crash
+        after the table commit but before the curation refresh re-enters
+        the batch, the table apply replay-skips, and the refresh completes
+        (each is idempotent per batch id). The changed-conv set is one
+        decode map pass over the batch's WAL slice — the merge's own
+        decode is winner-scoped, so it cannot be reused for this.
+        """
+        lo = min(self.checkpoint.last_lsn(), curation.verdicts.watermark())
+        hi_max = source_max(self.wal)
+        results = []
+        while lo < hi_max:
+            hi = min(lo + batch_size, hi_max)
+            m = self.run_batch(lo, hi)
+            if m is not None:
+                results.append(m)
+            changed = self.decode(ranged_scan(self.wal, lo, hi)).select(
+                "conv_id"
+            )
+            curation.refresh(
+                changed, f"cur-{self.batch_id_for(lo, hi)}", lsn_hi=hi
+            )
+            lo = hi
+            if limit_batches is not None and len(results) >= limit_batches:
+                break
+        return results
+
 
 def run_fanout_to_watermark(
     spark: SparkSession,
@@ -322,6 +359,17 @@ if __name__ == "__main__":
         help="curate the CDC lake's conversation state: reassemble each "
         "conversation's transcript (stable turn order) and run the same "
         "funnel as --curate, keyed by conv_id",
+    )
+    ap.add_argument(
+        "--curate-live",
+        default=None,
+        metavar="CUR_ROOT[:EVAL_PARQUET]",
+        help="run the CDC catch-up loop WITH the curation funnel riding "
+        "each batch: after every applied batch, fold exactly that batch's "
+        "touched conversations into the persisted LiveCuration state at "
+        "CUR_ROOT (quality -> exact dedup -> near dedup -> decontamination "
+        "vs EVAL_PARQUET), O(changes) per batch for both halves; "
+        "--curate-opt thresholds apply",
     )
     ap.add_argument(
         "--curate-opt",
@@ -540,7 +588,29 @@ if __name__ == "__main__":
     )
     lo0 = job.checkpoint.last_lsn()
     t0 = time.time()
-    commits = job.run_to_watermark(args.batch_size)
+    if args.curate_live:
+        from endor_blockchain_data_pipeline_spark.operators.live_curation import (
+            LiveCuration,
+        )
+
+        parts = args.curate_live.split(":")
+        evalset = spark.read.parquet(parts[1]) if len(parts) == 2 else None
+        opts = {}
+        for kv in args.curate_opt:
+            k, sep, v = kv.partition("=")
+            if not sep:
+                raise SystemExit(f"--curate-opt needs KEY=VALUE, got {kv!r}")
+            try:
+                opts[k] = int(v) if v.lstrip("-").isdigit() else float(v)
+            except ValueError:
+                opts[k] = v
+        cur = LiveCuration(spark, parts[0], table, evalset, **opts)
+        commits = job.run_with_curation(args.batch_size, cur)
+        f = cur.funnel()
+        steps = " -> ".join(f"{k}={f[k]}" for k in f)
+        print(f"live-curate: {steps}; verdicts at {parts[0]}")
+    else:
+        commits = job.run_to_watermark(args.batch_size)
     dt = time.time() - t0
     # LSN-range width == event count for dense feeds (the generator — so an
     # idempotent rerun honestly prints 0); for sparse external feeds it is

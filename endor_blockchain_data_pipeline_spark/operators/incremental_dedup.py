@@ -85,11 +85,18 @@ class DedupIndex:
         text_col: str = "text",
         n_buckets: int = 16,
         driver_pair_limit: int | None = None,
+        id_type: str = "long",
     ) -> None:
+        if id_type not in ("long", "string"):
+            raise ValueError(f"id_type must be 'long' or 'string', got {id_type!r}")
         self.spark = spark
         self.root = root
         self.id_col = id_col
         self.text_col = text_col
+        self.id_type = id_type
+        # python-side converter matching the declared Spark id type (driver
+        # union-find keys, createDataFrame rows)
+        self._pyid = int if id_type == "long" else str
         self.driver_pair_limit = (
             DUP_CLUSTERS_DRIVER_PAIR_LIMIT
             if driver_pair_limit is None
@@ -107,6 +114,14 @@ class DedupIndex:
         if os.path.exists(pfile):
             with open(pfile) as fh:
                 stored = json.load(fh)
+            # id_type is part of the index like the signature recipe (band
+            # rows were written with that schema); pre-id_type sidecars are
+            # all long-keyed.
+            if stored.setdefault("id_type", "long") != id_type:
+                raise ValueError(
+                    f"dedup-index id_type conflict at {root}: stored="
+                    f"{stored['id_type']!r} passed={id_type!r}"
+                )
             for k in self.PARAMS:
                 if passed[k] is not None and passed[k] != stored[k]:
                     raise ValueError(
@@ -119,6 +134,7 @@ class DedupIndex:
             self.params = {
                 k: defaults[k] if passed[k] is None else passed[k] for k in self.PARAMS
             }
+            self.params["id_type"] = id_type
             with open(pfile, "w") as fh:
                 json.dump(self.params, fh)
         # unique_lsn=False: these tables stamp _lsn per BATCH, so every read
@@ -179,10 +195,11 @@ class DedupIndex:
         batches (tested)."""
         cl = self._read(self.clusters)
         if cl is None:
+            idt = T.LongType() if self.id_type == "long" else T.StringType()
             schema = T.StructType(
                 [
-                    T.StructField(self.id_col, T.LongType()),
-                    T.StructField("cluster_id", T.LongType()),
+                    T.StructField(self.id_col, idt),
+                    T.StructField("cluster_id", idt),
                     T.StructField("keep", T.BooleanType()),
                 ]
             )
@@ -309,7 +326,8 @@ class DedupIndex:
             # pushed-filter reads of the small clusters table, one collect
             # bounded by affected-cluster membership.
             touched_df = self.spark.createDataFrame(
-                [(int(t),) for t in sorted(touched)], f"{id_col} long"
+                [(self._pyid(t),) for t in sorted(touched)],
+                f"{id_col} {self.id_type}",
             )
             affected_cids = cl.join(
                 F.broadcast(touched_df), id_col, "leftsemi"
@@ -323,17 +341,18 @@ class DedupIndex:
                 .select(id_col, "cluster_id")
                 .collect()
             )
+        pyid = self._pyid
         for r in member_rows:
-            union(int(r[id_col]), int(r["cluster_id"]))
+            union(pyid(r[id_col]), pyid(r["cluster_id"]))
         for r in pair_rows:
-            union(int(r["id_a"]), int(r["id_b"]))
+            union(pyid(r["id_a"]), pyid(r["id_b"]))
 
         # rows to (re)write: every doc of THIS batch + any previously-known
         # member whose label changed.
-        new_ids = [int(r[0]) for r in docs.select(id_col).distinct().collect()]
+        new_ids = [pyid(r[0]) for r in docs.select(id_col).distinct().collect()]
         new_set = set(new_ids)
-        old_label = {int(r[id_col]): int(r["cluster_id"]) for r in member_rows}
-        out_rows: list[tuple[int, int]] = []
+        old_label = {pyid(r[id_col]): pyid(r["cluster_id"]) for r in member_rows}
+        out_rows: list[tuple] = []
         for i in new_ids:
             out_rows.append((i, find(i) if i in parent else i))
         for i, old in old_label.items():
@@ -341,7 +360,9 @@ class DedupIndex:
             if lbl != old and i not in new_set:
                 out_rows.append((i, lbl))
 
-        labels = self.spark.createDataFrame(out_rows, f"{id_col} long, cluster_id long")
+        labels = self.spark.createDataFrame(
+            out_rows, f"{id_col} {self.id_type}, cluster_id {self.id_type}"
+        )
         return self._commit_batch(
             batch_id,
             new_bands,
@@ -514,10 +535,11 @@ class DedupIndex:
             }
         id_col = self.id_col
         if isinstance(ids, DataFrame):
-            ids_df = ids.select(F.col(id_col).cast("long")).distinct()
+            ids_df = ids.select(F.col(id_col).cast(self.id_type)).distinct()
         else:
             ids_df = self.spark.createDataFrame(
-                [(int(i),) for i in sorted(set(ids))], f"{id_col} long"
+                [(self._pyid(i),) for i in sorted(set(ids))],
+                f"{id_col} {self.id_type}",
             )
         # Reads EXCLUDE this batch id: replay after a crash between the two
         # commits sees the same pre-removal state either way (the remaining
@@ -587,18 +609,19 @@ class DedupIndex:
             if rp != rq:
                 parent[max(rp, rq)] = min(rp, rq)
 
+        pyid = self._pyid
         for r in member_rows:
-            find(int(r[id_col]))  # singletons label themselves
+            find(pyid(r[id_col]))  # singletons label themselves
         for r in edge_rows:
-            union(int(r["id_a"]), int(r["id_b"]))
+            union(pyid(r["id_a"]), pyid(r["id_b"]))
         writes = []
         for r in member_rows:
-            i = int(r[id_col])
+            i = pyid(r[id_col])
             lbl = find(i)
-            if lbl != int(r["cluster_id"]):
+            if lbl != pyid(r["cluster_id"]):
                 writes.append((i, lbl))
         live = self.spark.createDataFrame(
-            writes, f"{id_col} long, cluster_id long"
+            writes, f"{id_col} {self.id_type}, cluster_id {self.id_type}"
         )
         return self._commit_frames(
             batch_id,

@@ -192,6 +192,39 @@ def run_queries() -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
     out["incremental_dedup_build"] = round(best_build, 3)
     out["incremental_dedup_add"] = round(best_add, 3)
+    # Live curation's per-batch cost, same split: `_build` = first CDC batch
+    # applied + folded into EMPTY curation state (funnel bootstrap),
+    # `_refresh` = the second batch against the existing state — the
+    # marginal per-batch price of the combined loop (CDC apply + exact/near
+    # index diffs scoped to touched conversations). WAL/lake sized small on
+    # purpose: the number isolates the fold's fixed cost, not corpus-scan
+    # time (which refresh never pays by construction).
+    from endor_blockchain_data_pipeline_spark.job import CDCJob
+    from endor_blockchain_data_pipeline_spark.operators.live_curation import (
+        LiveCuration,
+    )
+    from endor_blockchain_data_pipeline_spark.sources.lake import ManifestTable
+    from endor_blockchain_data_pipeline_spark.sources.wal import generate_wal
+
+    best_cb = best_cr = None
+    lc_wal = generate_wal(spark, 20000, n_convs=128, max_turns=8, seed=3)
+    for _ in range(max(REPS, 1)):
+        root = tempfile.mkdtemp(prefix="bench-livecur-", dir=WORK_ROOT)
+        lc_table = ManifestTable(os.path.join(root, "t"), n_buckets=16)
+        lc_job = CDCJob(spark, lc_table, lc_wal)
+        lc = LiveCuration(
+            spark, os.path.join(root, "cur"), lc_table, dup_word_max=0.95
+        )
+        t0 = time.time()
+        lc_job.run_with_curation(10000, lc, limit_batches=1)
+        t1 = time.time()
+        lc_job.run_with_curation(10000, lc)
+        t2 = time.time()
+        best_cb = t1 - t0 if best_cb is None else min(best_cb, t1 - t0)
+        best_cr = t2 - t1 if best_cr is None else min(best_cr, t2 - t1)
+        shutil.rmtree(root, ignore_errors=True)
+    out["live_curation_build"] = round(best_cb, 3)
+    out["live_curation_refresh"] = round(best_cr, 3)
     # ANN quality next to ANN latency: recall@10 of the two approximate
     # paths against the exact brute-force ranking (same query vector).
     exact = {r["vec_id"] for r in qs["ann_topk"](spark, SF_DIR).collect()}

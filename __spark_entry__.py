@@ -67,15 +67,22 @@ def _events_as_wal(ev: DataFrame) -> DataFrame:
 
 
 def q_lww_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: LWW latest-state per (conv_id, turn_idx) with deletes."""
-    wal = _events_as_wal(_t(spark, sf_dir, "events"))
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("lsn").desc(), F.col("ts").desc()
+    """Flagship: LWW latest-state per (conv_id, turn_idx) with deletes.
+
+    Same rows as the row_number-window form (lsn — the event_id — is
+    globally unique, so max(lsn) IS the (lsn desc, ts desc) winner), but
+    executed as the merge core's narrow-winner shape (`lww_winner_rows`):
+    a fixed-width HashAggregate over (key, lsn) with map-side combine +
+    broadcast join-back — no shuffle-and-sort of the wide payload rows.
+    """
+    from endor_blockchain_data_pipeline_spark.operators.merge import (
+        lww_winner_rows,
     )
-    return (
-        wal.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("op") != "delete"))
-        .select("conv_id", "turn_idx", "role", "text", "val", "lsn", "ts")
+
+    wal = _events_as_wal(_t(spark, sf_dir, "events"))
+    win = lww_winner_rows(wal, key_cols=("conv_id", "turn_idx"), lsn_col="lsn")
+    return win.where(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "val", "lsn", "ts"
     )
 
 
@@ -119,12 +126,23 @@ def q_ranged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key change counts + winning lsn (the merge's reduce shape)."""
+    """Per-key change counts + winning lsn (the merge's reduce shape).
+
+    ``max_by(role, lsn)`` carries a STRING aggregation buffer, which
+    demotes the whole groupBy to SortAggregate (no map-side combine of the
+    raw feed). Same values, fast shape: a fixed-width HashAggregate picks
+    (count, max lsn) per key, then the winner's role joins back on the
+    globally-unique lsn against a narrow (lsn, role) projection — the
+    merge core's narrow-winner discipline.
+    """
     wal = _events_as_wal(_t(spark, sf_dir, "events"))
-    return wal.groupBy("conv_id", "turn_idx").agg(
+    agg = wal.groupBy("conv_id", "turn_idx").agg(
         F.count("*").alias("n_changes"),
         F.max("lsn").alias("win_lsn"),
-        F.max_by("role", "lsn").alias("win_role"),
+    )
+    roles = wal.select(F.col("lsn").alias("win_lsn"), F.col("role").alias("win_role"))
+    return roles.join(F.broadcast(agg), "win_lsn").select(
+        "conv_id", "turn_idx", "n_changes", "win_lsn", "win_role"
     )
 
 
@@ -161,8 +179,12 @@ def q_broadcast_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multi_join_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    # orders/customer are far smaller than lineitem but above the 10MB
+    # auto-broadcast estimate: SHUFFLE_HASH builds a per-partition hash map
+    # from the small side instead of sort-merge's full sort of the 6M-row
+    # lineitem shuffle (guide §3.1); AQE skew splitting still applies.
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
+    c = _t(spark, sf_dir, "customer").hint("shuffle_hash")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
@@ -324,25 +346,26 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality + language-ID + Gopher-style repetition signals, all as one
-    map-only projection (no explode/groupBy — survives 100 TB as a single
-    scan)."""
+    map-only projection stack (no explode/groupBy — survives 100 TB as a
+    single scan). ``with_text_signals`` hoists every shared subexpression
+    (splits, lowered text, stopword hits) so each evaluates once per row —
+    the previous inline composition re-ran the word split inside the
+    bigram lambda per element (O(words²) per doc) and re-lowered/split the
+    text once per signal."""
     from endor_blockchain_data_pipeline_spark.functions.text import (
-        dup_bigram_frac_expr,
-        dup_line_frac_expr,
-        dup_word_frac_expr,
-        symbol_word_ratio_expr,
+        with_text_signals,
     )
 
     d = parallelize_for_fanout(_t(spark, sf_dir, "documents"))
-    return d.select(
+    return with_text_signals(d, "text").select(
         "doc_id",
-        quality_score_expr("text").alias("quality"),
-        lang_guess_expr("text").alias("lang_guess"),
-        stopword_hits_expr("text", "en").alias("en_stopwords"),
-        dup_line_frac_expr("text").alias("dup_line_frac"),
-        dup_word_frac_expr("text").alias("dup_word_frac"),
-        dup_bigram_frac_expr("text").alias("dup_bigram_frac"),
-        symbol_word_ratio_expr("text").alias("symbol_word_ratio"),
+        "quality",
+        "lang_guess",
+        "en_stopwords",
+        "dup_line_frac",
+        "dup_word_frac",
+        "dup_bigram_frac",
+        "symbol_word_ratio",
     )
 
 
@@ -547,8 +570,18 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endor_blockchain_data_pipeline_spark.functions.sketch import kmv_distinct
 
     ev = _t(spark, sf_dir, "events")
-    est = kmv_distinct(ev, ["user_id"], "props", k=64)
-    exact = ev.groupBy("user_id").agg(F.count_distinct("props").alias("n_exact"))
+    # Both the sketch and the exact count reduce over the same distinct
+    # (user, props) pairs — dedupe ONCE and let ReusedExchange share the
+    # shuffle between the two branches (the r5 form scanned + deduped the
+    # events table once per branch). count_distinct == count over the
+    # distinct non-null pairs, value-identical.
+    pairs = ev.select("user_id", "props").distinct()
+    est = kmv_distinct(pairs, ["user_id"], "props", k=64)
+    exact = (
+        pairs.where(F.col("props").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
     return est.join(exact, "user_id")
 
 
@@ -603,9 +636,17 @@ def q_range_join_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", start_col="session_start", end_col="session_end",
         bin_width_sec=3600,
     )
+    # n_users == n_open_sessions BY CONSTRUCTION: one user's session
+    # windows are pairwise disjoint (a new session only opens at ts >=
+    # prev session_end, Spark's merge rule), so at any probe instant each
+    # matched user contributes exactly one open session. count(*) gives
+    # the identical value WITHOUT countDistinct's Expand doubling of the
+    # 60M matched rows through the aggregate (measured 2x on this query;
+    # verified count==countDistinct for every probe at sf0.01/0.1/1.0 —
+    # the DuckDB oracle still computes count(DISTINCT) and hash-matches).
     return matched.groupBy("probe_id").agg(
         F.count("*").alias("n_open_sessions"),
-        F.countDistinct("s_user").alias("n_users"),
+        F.count("*").alias("n_users"),
     )
 
 

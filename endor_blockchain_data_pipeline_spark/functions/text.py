@@ -242,6 +242,130 @@ def symbol_word_ratio_expr(col: Column | str) -> Column:
     )
 
 
+def with_text_signals(df, text_col: str = "text"):
+    """Append the quality / language-ID / repetition signal columns in a
+    stack of projections that evaluates every SHARED subexpression once per
+    row: ``quality``, ``lang_guess``, ``en_stopwords``, ``dup_line_frac``,
+    ``dup_word_frac``, ``dup_bigram_frac``, ``symbol_word_ratio``.
+
+    Why not the per-signal expression functions composed inline: a column
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated on EVERY array element (``element_at(split(...), i)``
+    re-runs the split per bigram — O(words²) per document), and the
+    repeated trim/lower/split trees across signals each evaluate again
+    (codegen subexpression elimination does not reach into HOF lambdas).
+    Hoisting each shared tree into its own aliased column makes downstream
+    references ATTRIBUTE reads; CollapseProject keeps the layering because
+    every hoisted alias is non-cheap and referenced more than once. Values
+    are identical to the inline forms (the DuckDB oracle still
+    hash-matches) — only the evaluation count changes.
+
+    Unused signal columns are pruned by Catalyst when the caller selects a
+    subset, so sharing this builder costs nothing.
+    """
+    t = _c(text_col)
+    # L1: the raw string transforms every signal shares
+    l1 = df.select(
+        "*",
+        F.trim(t).alias("_ts_trim"),
+        F.lower(t).alias("_ts_low"),
+    )
+    trim_c = F.col("_ts_trim")
+    low_c = F.col("_ts_low")
+    # L2: arrays + scalar counts (each referenced >1 time downstream)
+    lowtrim = F.trim(low_c)
+    l2 = l1.select(
+        "*",
+        F.length(trim_c).alias("_ts_n"),
+        F.when(F.length(trim_c) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trim_c, r"\s+")))
+        .alias("_ts_toks"),
+        (
+            F.length(trim_c)
+            - F.length(F.regexp_replace(trim_c, r"[^\w\s]", ""))
+        ).alias("_ts_punct"),
+        F.concat(F.lit(" "), low_c, F.lit(" ")).alias("_ts_padded"),
+        F.when(F.length(lowtrim) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(lowtrim, r"\s+"))
+        .alias("_ts_ws"),
+        F.filter(
+            F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+        ).alias("_ts_lines"),
+    )
+    # L3: per-language stopword hits + the bigram array (attribute inputs)
+    padded = F.col("_ts_padded")
+    ws = F.col("_ts_ws")
+    nw = F.size(ws)
+
+    def hits_of(lang: str) -> Column:
+        hits = None
+        for w in STOPWORDS[lang]:
+            h = F.when(padded.contains(f" {w} "), 1).otherwise(0)
+            hits = h if hits is None else hits + h
+        return hits.cast("int")
+
+    l3 = l2.select(
+        "*",
+        *[hits_of(lang).alias(f"_ts_h_{lang}") for lang in STOPWORDS],
+        # guard: sequence(1, 0) runs DESCENDING and element_at(ws, 0) throws
+        F.when(
+            nw >= 2,
+            F.transform(
+                F.sequence(F.lit(1), nw - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_ts_bg"),
+    )
+    # L4: final signals off attributes only
+    n = F.col("_ts_n")
+    toks = F.col("_ts_toks")
+    mean_word = F.when(toks == 0, F.lit(0.0)).otherwise(
+        n.cast("double") / toks
+    )
+    len_score = (
+        F.when((n >= 50) & (n <= 5000), 1.0)
+        .when(n > 5000, 0.5)
+        .otherwise(n.cast("double") / 50.0)
+    )
+    punct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.col("_ts_punct").cast("double") / n
+    )
+    punct_score = 1.0 - F.least(punct_ratio * 4, F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
+    guess = F.lit("und")
+    best = F.lit(0)
+    for lang in ["en", "es", "fr", "de"]:  # later langs win only strictly
+        h = F.col(f"_ts_h_{lang}")
+        guess = F.when(h > best, F.lit(lang)).otherwise(guess)
+        best = F.when(h > best, h).otherwise(best)
+    lines = F.col("_ts_lines")
+    bg = F.col("_ts_bg")
+    syms = F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    out = l3.select(
+        "*",
+        F.round(
+            len_score * 0.4 + punct_score * 0.3 + word_score * 0.3, 4
+        ).alias("quality"),
+        guess.alias("lang_guess"),
+        F.col("_ts_h_en").alias("en_stopwords"),
+        _dup_frac(F.size(lines), F.size(F.array_distinct(lines))).alias(
+            "dup_line_frac"
+        ),
+        _dup_frac(nw, F.size(F.array_distinct(ws))).alias("dup_word_frac"),
+        F.when(nw < 2, F.lit(0.0))
+        .otherwise(_dup_frac(F.size(bg), F.size(F.array_distinct(bg))))
+        .alias("dup_bigram_frac"),
+        F.when(toks == 0, F.lit(0.0))
+        .otherwise(syms.cast("double") / toks.cast("double"))
+        .alias("symbol_word_ratio"),
+    )
+    return out.drop(*[c for c in out.columns if c.startswith("_ts_")])
+
+
 def fingerprint_expr(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (portable across
     engines — used as the exact-dedup key)."""

@@ -29,13 +29,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from endor_blockchain_data_pipeline_spark.functions.text import (
-    dup_line_frac_expr,
-    dup_word_frac_expr,
     fingerprint_expr,
     pack_documents,
-    quality_score_expr,
     sample_stratified_expr,
-    symbol_word_ratio_expr,
 )
 from endor_blockchain_data_pipeline_spark.operators.dedup import (
     decontaminate,
@@ -119,14 +115,24 @@ def curate_corpus(
         *([F.col(strata_col)] if strata_col else []),
     )
 
-    # Stage 1 — quality + repetition gates (map-only projection).
-    quality_pass = (
-        (quality_score_expr(text_col) >= quality_min)
-        & (dup_line_frac_expr(text_col) <= dup_line_max)
-        & (dup_word_frac_expr(text_col) <= dup_word_max)
-        & (symbol_word_ratio_expr(text_col) <= symbol_ratio_max)
+    # Stage 1 — quality + repetition gates (map-only projection stack;
+    # with_text_signals evaluates each shared split/lower tree once per row,
+    # unused signal columns are pruned by Catalyst).
+    from endor_blockchain_data_pipeline_spark.functions.text import (
+        with_text_signals,
     )
-    flagged = ids.withColumn("quality_pass", quality_pass)
+
+    quality_pass = (
+        (F.col("quality") >= quality_min)
+        & (F.col("dup_line_frac") <= dup_line_max)
+        & (F.col("dup_word_frac") <= dup_word_max)
+        & (F.col("symbol_word_ratio") <= symbol_ratio_max)
+    )
+    flagged = (
+        with_text_signals(ids, text_col)
+        .withColumn("quality_pass", quality_pass)
+        .select(*ids.columns, "quality_pass")
+    )
     s1 = flagged.where("quality_pass")
 
     # Stage 2 — exact dedup (normalized-fingerprint groupBy, min-id keeper).

@@ -455,7 +455,11 @@ def dedup_resolution(
 
 
 def simhash_bands(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    carry_all: bool = False,
 ) -> DataFrame:
     """(id, band_idx, band_val) rows of a 64-bit SimHash split into bands.
 
@@ -485,23 +489,50 @@ def simhash_bands(
         F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
     )
 
-    def vote(b: int):
-        half = F.col("h1") if b < 32 else F.col("h2")
+    # Vote sums PACKED two-per-aggregate: bit b of h1 and bit b+32 of h2
+    # share the same nibble shift ((b+32)//4 % 8 == b//4), so one long sum
+    # carries count(bit b) in the low 31 bits and count(bit b+32) shifted
+    # by 31 — 32 aggregate buffers + count(*) instead of 64, half the
+    # per-row buffer updates in the partial aggregation. Exact integer
+    # math while a doc has < 2^31 tokens; the ±1 vote is recovered as
+    # v_b = 2*count_ones(b) - n_tokens, identical values to the old
+    # per-bit sum(±1) recipe (the DuckDB oracle is unchanged).
+    packed_sums = []
+    for b in range(32):
         shift = 4 * (7 - (b // 4) % 8) + (b % 4)
-        bit = F.shiftright(half, shift).bitwiseAND(F.lit(1))
-        return (bit * 2 - 1).cast("int")  # branch-free ±1
-
+        lo = F.shiftright(F.col("h1"), shift).bitwiseAND(F.lit(1))
+        hi = F.shiftright(F.col("h2"), shift).bitwiseAND(F.lit(1))
+        packed_sums.append(F.sum(lo + F.shiftleft(hi, 31)).alias(f"s{b}"))
     votes = halves.groupBy(id_col).agg(
-        *[F.sum(vote(b)).alias(f"v{b}") for b in range(64)]
+        F.count("*").alias("_n"), *packed_sums
     )
+    mask = (1 << 31) - 1
+
+    def v(b: int):
+        s = F.col(f"s{b % 32}")
+        ones = (
+            s.bitwiseAND(F.lit(mask)) if b < 32 else F.shiftright(s, 31)
+        )
+        return ones * 2 - F.col("_n")
+
     n_bands = 64 // band_bits
     band_vals = []
     for j in range(n_bands):
         val = F.lit(0)
         for i in range(band_bits):
             b = j * band_bits + i
-            val = val + F.when(F.col(f"v{b}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            val = val + F.when(v(b) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         band_vals.append(val.cast("int"))
+    if carry_all:
+        # each band row additionally carries the doc's FULL band-value
+        # array, so a self-join can dedupe pairs positionally ("first
+        # shared band wins") instead of paying a giant distinct — see
+        # dedup_simhash
+        return votes.select(
+            id_col, F.array(*band_vals).alias("_bvs")
+        ).select(
+            id_col, "_bvs", F.posexplode("_bvs").alias("band_idx", "band_val")
+        )
     return votes.select(
         id_col, F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val")
     )
@@ -521,32 +552,70 @@ def dedup_simhash(
     the same giant-bucket skew cap as the MinHash-LSH join. The bands table
     is materialized before the self-join (same rationale as
     ``minhash_candidates``: two lazy subtrees otherwise).
+
+    Pair dedup is POSITIONAL, not a distinct: each band row carries the
+    doc's full band-value array and a pair is emitted only from the FIRST
+    band the two docs share (no earlier band matches). The result set is
+    identical to the old ``.distinct()`` — a pair sharing k bands appeared
+    k times before dedup — but the near-duplicate-free case is the common
+    one (measured at sf1.0: 19.3M raw pairs, 19.0M distinct), so the
+    distinct was shuffling ~19M almost-unique (long, long) rows through a
+    full hash aggregate (~11 s) to remove 1.3% of them; the positional
+    filter drops the same rows inside the join's codegen for free.
     """
-    bands = materialize(simhash_bands(df, text_col, id_col, band_bits))
+    bands = materialize(
+        simhash_bands(df, text_col, id_col, band_bits, carry_all=True)
+    )
     bands = cap_bucket_size(bands, ["band_idx", "band_val"], max_bucket_size)
     a, b_ = bands.alias("a"), bands.alias("b")
+    # "no earlier band matches", unrolled per position (band count is
+    # static) — plain codegen comparisons, no higher-order functions in
+    # the join filter (an exists/zip_with here costs interpreted lambda
+    # dispatch per RAW candidate pair)
+    first_shared = F.lit(True)
+    for j in range(64 // band_bits - 1):
+        first_shared = first_shared & (
+            (F.col("a.band_idx") <= j)
+            | (
+                F.element_at(F.col("a._bvs"), j + 1)
+                != F.element_at(F.col("b._bvs"), j + 1)
+            )
+        )
     return (
         a.join(
             b_,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & first_shared,
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
 
 
-def word_ngrams(col, n: int = 13):
-    """Array of word n-grams (space-joined n-token windows); docs shorter
-    than n words yield a single whole-text gram. Pure column expressions."""
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(c), r"\s+")
+def word_ngrams_of(words, n: int = 13):
+    """Word n-grams over a PRE-SPLIT words array column.
+
+    Pass an ATTRIBUTE (a hoisted/aliased column): an expression referenced
+    inside the ``transform`` lambda is re-evaluated on every array element,
+    so handing the raw split expression here costs O(words²) per doc."""
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.array_join(F.slice(words, i, n), " "),
     )
+
+
+def word_ngrams(col, n: int = 13):
+    """Array of word n-grams (space-joined n-token windows); docs shorter
+    than n words yield a single whole-text gram. Pure column expressions.
+
+    NOTE: the split is embedded in the transform lambda (re-evaluated per
+    element). Hot paths should hoist the split into its own projection and
+    call ``word_ngrams_of`` on the attribute — see ``decontaminate``."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    return word_ngrams_of(words, n)
 
 
 def decontaminate(
@@ -569,19 +638,28 @@ def decontaminate(
     Docs with zero collisions are included (contaminated = false), so the
     result is a complete verdict table, joinable as a keep-filter.
     """
+    # the word split is hoisted into its own projection so the n-gram
+    # transform's lambda slices an ATTRIBUTE (the inline form re-evaluates
+    # the split per element — O(words²) per doc)
     grams = lambda df: (
         parallelize_for_fanout(df)
         .select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+        )
+        .select(
             F.col(id_col),
-            F.explode(word_ngrams(text_col, n_gram)).alias("g"),
+            F.explode(word_ngrams_of(F.col("_w"), n_gram)).alias("g"),
         )
         .select(id_col, F.md5("g").alias("gh"))
         .distinct()
     )
     train_g = grams(train)
-    eval_g = evalset.select(
-        F.explode(word_ngrams(text_col, n_gram)).alias("g")
-    ).select(F.md5("g").alias("gh")).distinct()
+    eval_g = (
+        evalset.select(F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"))
+        .select(F.explode(word_ngrams_of(F.col("_w"), n_gram)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
     hits = (
         train_g.join(eval_g, "gh")
         .groupBy(id_col)

@@ -291,13 +291,22 @@ class DedupIndex:
                 )
             )
             pairs = pairs.unionByName(cross)
-        pairs = materialize(pairs.distinct())
-        pair_rows = pairs.limit(self.driver_pair_limit + 1).collect()
-        if len(pair_rows) > self.driver_pair_limit:
+        # Count rides the materialization (Observation); a limit(n).collect()
+        # would run CollectLimit's scale-up job ladder (1, 4, 16, ...
+        # partitions — several driver-scheduled jobs) just to probe the size.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        pairs = materialize(
+            pairs.distinct().observe(obs, F.count("*").alias("n"))
+        )
+        n_pairs = int(obs.get["n"] or 0)
+        if n_pairs > self.driver_pair_limit:
             # Pair set too big for the driver union-find: fold DISTRIBUTED —
             # same adaptive discipline as dup_clusters, nothing corpus-sized
             # ever reaches the driver.
             return self._add_batch_distributed(docs, batch_id, new_bands, pairs)
+        pair_rows = pairs.collect()  # bounded by the limit just checked
 
         # ---- fold pairs into cluster labels (driver union-find over the
         # TOUCHED subgraph only) ----
@@ -348,21 +357,36 @@ class DedupIndex:
             union(pyid(r["id_a"]), pyid(r["id_b"]))
 
         # rows to (re)write: every doc of THIS batch + any previously-known
-        # member whose label changed.
-        new_ids = [pyid(r[0]) for r in docs.select(id_col).distinct().collect()]
-        new_set = set(new_ids)
+        # member whose label changed. Only the TOUCHED subgraph's labels
+        # (pair-bounded) travel through the driver; untouched new docs label
+        # themselves BY EXPRESSION off the materialized bands — the r5 path
+        # collected every batch doc id (O(batch) driver traffic) just to
+        # emit identity labels.
+        label_schema = f"{id_col} {self.id_type}, cluster_id {self.id_type}"
+        new_ids_df = new_bands.select(id_col).distinct()
+        resolved = [(i, find(i)) for i in sorted(parent)]
+        if resolved:
+            tl = F.broadcast(self.spark.createDataFrame(resolved, label_schema))
+            labels = new_ids_df.join(
+                tl.withColumnRenamed("cluster_id", "_cid"), id_col, "left"
+            ).select(
+                F.col(id_col),
+                F.coalesce("_cid", F.col(id_col)).alias("cluster_id"),
+            )
+        else:
+            labels = new_ids_df.select(
+                F.col(id_col), F.col(id_col).alias("cluster_id")
+            )
         old_label = {pyid(r[id_col]): pyid(r["cluster_id"]) for r in member_rows}
-        out_rows: list[tuple] = []
-        for i in new_ids:
-            out_rows.append((i, find(i) if i in parent else i))
-        for i, old in old_label.items():
-            lbl = find(i)
-            if lbl != old and i not in new_set:
-                out_rows.append((i, lbl))
-
-        labels = self.spark.createDataFrame(
-            out_rows, f"{id_col} {self.id_type}, cluster_id {self.id_type}"
-        )
+        changed = [
+            (i, lbl) for i, old in old_label.items() if (lbl := find(i)) != old
+        ]
+        if changed:
+            labels = labels.unionByName(
+                self.spark.createDataFrame(changed, label_schema).join(
+                    new_ids_df, id_col, "left_anti"
+                )
+            )
         return self._commit_batch(
             batch_id,
             new_bands,
@@ -370,9 +394,10 @@ class DedupIndex:
             {
                 "batch_id": batch_id,
                 "fold": "driver-union-find",
-                "n_new_docs": len(new_ids),
-                "n_pairs": len(pair_rows),
-                "n_label_writes": len(out_rows),
+                # filled from the staged files' parquet footers at commit
+                "n_new_docs": None,
+                "n_pairs": n_pairs,
+                "n_label_writes": None,
             },
         )
 
@@ -480,6 +505,10 @@ class DedupIndex:
         stats = {**stats, "replayed_bands": False, "replayed_clusters": False}
         do_bands = batch_id not in self.bands.committed_batches()
         do_clusters = batch_id not in self.clusters.committed_batches()
+
+        def _staged_rows(staged: dict) -> int:
+            return sum(s["n_rows"] for s in staged["bucket_stats"].values())
+
         with _cf.ThreadPoolExecutor(max_workers=2) as pool:
             fb = (
                 pool.submit(self.bands.stage, make_bands(seq), batch_id)
@@ -492,14 +521,25 @@ class DedupIndex:
                 else None
             )
             if fb is not None:
+                staged_b = fb.result()
+                # doc/label counts come free from the staged parquet footers
+                # (no extra count jobs — the r5 driver path collected every
+                # batch id partly to report these)
+                if stats.get("n_new_docs", 0) is None:
+                    stats["n_new_docs"] = _staged_rows(staged_b) // int(
+                        self.params["n_bands"]
+                    )
                 self.bands.commit_staged(
-                    fb.result(), batch_id, seq, seq, None, mode="append"
+                    staged_b, batch_id, seq, seq, None, mode="append"
                 )
             else:
                 stats["replayed_bands"] = True
             if fc is not None:
+                staged_c = fc.result()
+                if stats.get("n_label_writes", 0) is None:
+                    stats["n_label_writes"] = _staged_rows(staged_c)
                 self.clusters.commit_staged(
-                    fc.result(), batch_id, seq, seq, None, mode="append"
+                    staged_c, batch_id, seq, seq, None, mode="append"
                 )
             else:
                 stats["replayed_clusters"] = True
@@ -550,18 +590,38 @@ class DedupIndex:
         bands = self._read(self.bands, exclude_batch_ids=[batch_id])
         ids_b = F.broadcast(ids_df)
 
+        from pyspark.sql import Observation
+
         affected_cids = (
             cl.join(ids_b, id_col, "leftsemi").select("cluster_id").distinct()
         )
+        # One materialization carries the removed/remaining SPLIT as a flag
+        # and both side counts as observed sums (r5 paid three separate
+        # materializations plus limit(n).collect() probe ladders here).
+        obs_m = Observation()
         members = materialize(
             cl.join(
                 F.broadcast(affected_cids.withColumnRenamed("cluster_id", "_cid")),
                 cl["cluster_id"] == F.col("_cid"),
                 "leftsemi",
-            ).select(id_col, "cluster_id")
+            )
+            .select(id_col, "cluster_id")
+            .join(F.broadcast(ids_df.withColumn("_rm0", F.lit(True))), id_col, "left")
+            .select(
+                id_col,
+                "cluster_id",
+                F.coalesce("_rm0", F.lit(False)).alias("_rm"),
+            )
+            .observe(
+                obs_m,
+                F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+                F.sum((~F.col("_rm")).cast("long")).alias("n_remaining"),
+            )
         )
-        removed = materialize(members.join(ids_b, id_col, "leftsemi"))
-        remaining = materialize(members.join(ids_b, id_col, "left_anti"))
+        m_stats = obs_m.get
+        n_removed = int(m_stats["n_removed"] or 0)
+        removed = members.where("_rm").select(id_col, "cluster_id")
+        remaining = members.where("NOT _rm").select(id_col, "cluster_id")
         # Candidate edges among the REMAINING affected members, recomputed
         # from the persisted band index (a removed bridge doc contributes no
         # edges): bands semi-join membership, then the banded self-join —
@@ -570,6 +630,7 @@ class DedupIndex:
             bands.join(remaining.select(id_col), id_col, "leftsemi")
         )
         a, b = rb.alias("a"), rb.alias("b")
+        obs_e = Observation()
         edges = materialize(
             a.join(
                 b,
@@ -581,16 +642,18 @@ class DedupIndex:
                 F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
             )
             .distinct()
+            .observe(obs_e, F.count("*").alias("n"))
         )
+        n_edges = int(obs_e.get["n"] or 0)
         tomb_bands = bands.join(ids_b, id_col, "leftsemi")
 
         limit = self.driver_pair_limit
-        member_rows = remaining.limit(limit + 1).collect()
-        edge_rows = edges.limit(limit + 1).collect()
-        if len(member_rows) > limit or len(edge_rows) > limit:
+        if int(m_stats["n_remaining"] or 0) > limit or n_edges > limit:
             return self._remove_docs_distributed(
-                batch_id, remaining, edges, tomb_bands, removed
+                batch_id, remaining, edges, tomb_bands, removed, n_removed
             )
+        member_rows = remaining.collect()  # bounded by the limit just checked
+        edge_rows = edges.collect()
 
         # driver union-find over the remaining affected subgraph only
         parent: dict[int, int] = {}
@@ -634,7 +697,7 @@ class DedupIndex:
             {
                 "batch_id": batch_id,
                 "fold": "driver-union-find",
-                "n_removed": removed.count(),
+                "n_removed": n_removed,  # observed on the members action
                 "n_label_writes": len(writes),
             },
         )
@@ -646,6 +709,7 @@ class DedupIndex:
         edges: DataFrame,
         tomb_bands: DataFrame,
         removed: DataFrame,
+        n_removed: int,
     ) -> dict:
         """Removal fold beyond the driver bound: label the remaining
         affected subgraph with the distributed hash-min propagation and
@@ -678,7 +742,7 @@ class DedupIndex:
                 "fold": "distributed-label-propagation",
                 # same stats contract as the driver path: callers must not
                 # see a different shape when the size bound flips the fold
-                "n_removed": removed.count(),
+                "n_removed": n_removed,  # observed on the members action
                 "n_label_writes": None,  # not collected — distributed
             },
         )

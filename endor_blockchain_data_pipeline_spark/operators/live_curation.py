@@ -81,11 +81,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from endor_blockchain_data_pipeline_spark.functions.text import (
-    dup_line_frac_expr,
-    dup_word_frac_expr,
     fingerprint_expr,
-    quality_score_expr,
-    symbol_word_ratio_expr,
 )
 from endor_blockchain_data_pipeline_spark.operators.curate import (
     transcripts_as_documents,
@@ -236,15 +232,21 @@ class LiveCuration:
 
     def _flag_docs(self, docs: DataFrame) -> DataFrame:
         """Per-doc funnel signals — map-only column exprs + the bounded
-        decontamination join (evalset side is the small one)."""
+        decontamination join (evalset side is the small one).
+        ``with_text_signals`` evaluates each shared split/lower tree once
+        per row; unused signal columns are pruned by Catalyst."""
+        from endor_blockchain_data_pipeline_spark.functions.text import (
+            with_text_signals,
+        )
+
         p = self.params
         quality = (
-            (quality_score_expr("text") >= p["quality_min"])
-            & (dup_line_frac_expr("text") <= p["dup_line_max"])
-            & (dup_word_frac_expr("text") <= p["dup_word_max"])
-            & (symbol_word_ratio_expr("text") <= p["symbol_ratio_max"])
+            (F.col("quality") >= p["quality_min"])
+            & (F.col("dup_line_frac") <= p["dup_line_max"])
+            & (F.col("dup_word_frac") <= p["dup_word_max"])
+            & (F.col("symbol_word_ratio") <= p["symbol_ratio_max"])
         )
-        out = docs.select(
+        out = with_text_signals(docs, "text").select(
             self.conv_col,
             "text",
             quality.alias("quality_pass"),
@@ -278,6 +280,8 @@ class LiveCuration:
         ``min(apply watermark, curation watermark)`` and replays close the
         gap. Pick ONE mode per index (WAL-lsn or internal counter): the
         stamps share the verdicts table's ``_lsn`` ordering."""
+        from pyspark.sql import Observation
+
         c = self.conv_col
         if batch_id in self.verdicts.committed_batches():
             return {"batch_id": batch_id, "replay": True}
@@ -287,33 +291,50 @@ class LiveCuration:
             ids = self.spark.createDataFrame(
                 [(str(i),) for i in sorted(set(changed_ids))], f"{c} string"
             )
-        ids = materialize(ids)
+        # stats counts ride the materialization actions (Observation) —
+        # refresh never runs a separate count() job (the r5 ~30s/batch fixed
+        # cost was almost entirely driver-side job scheduling of such probes)
+        obs_ids = Observation()
+        ids = materialize(ids.observe(obs_ids, F.count("*").alias("n")))
 
         # -- 1. old verdict rows + new transcripts of the changed convs --
         old = self._pruned(self.verdicts, ids, c, exclude_batch_ids=[batch_id])
         new = materialize(self._flag_docs(self._transcripts_for(ids)))
+        obs_del = Observation()
         deleted = materialize(
-            ids.join(new.select(c), c, "left_anti")
-            if old is None
-            else ids.join(new.select(c), c, "left_anti").join(
-                old.select(c), c, "leftsemi"
-            )
+            (
+                ids.join(new.select(c), c, "left_anti")
+                if old is None
+                else ids.join(new.select(c), c, "left_anti").join(
+                    old.select(c), c, "leftsemi"
+                )
+            ).observe(obs_del, F.count("*").alias("n"))
         )
 
         # -- 2. exact-index membership diff (quality-passers only) --
+        # one materialized DELTA frame (side flag _rm) replaces the r5
+        # to_remove/to_add/affected_fps triple materialization + two counts;
+        # the side counts ride the same action via Observation
         new_m = new.where("quality_pass").select(c, "fingerprint")
         if old is not None:
             old_m = old.where("quality_pass").select(c, "fingerprint")
         else:
             old_m = new_m.limit(0)
-        to_remove = materialize(old_m.join(new_m, [c, "fingerprint"], "left_anti"))
-        to_add = materialize(new_m.join(old_m, [c, "fingerprint"], "left_anti"))
-        affected_fps = materialize(
-            to_remove.select("fingerprint")
-            .unionByName(to_add.select("fingerprint"))
-            .distinct()
+        obs_delta = Observation()
+        delta = materialize(
+            old_m.join(new_m, [c, "fingerprint"], "left_anti")
+            .withColumn("_rm", F.lit(True))
+            .unionByName(
+                new_m.join(old_m, [c, "fingerprint"], "left_anti").withColumn(
+                    "_rm", F.lit(False)
+                )
+            )
+            .observe(obs_delta, F.count("*").alias("n"))
         )
-        n_delta = to_remove.count() + to_add.count()
+        to_remove = delta.where("_rm").drop("_rm")
+        to_add = delta.where("NOT _rm").drop("_rm")
+        affected_fps = delta.select("fingerprint").distinct()
+        n_delta = int(obs_delta.get["n"] or 0)
         if n_delta and batch_id not in self.exact.committed_batches():
             seq = self.exact.watermark() + 1
             frame = self._internals(to_remove, batch_id, seq, True).unionByName(
@@ -340,7 +361,9 @@ class LiveCuration:
             )
 
         # -- 3. near-population diff over changed ∪ affected-fp members --
-        scope = materialize(ids.unionByName(members.select(c)).distinct())
+        # lazy: both inputs are checkpointed, every consumer re-derives the
+        # tiny union instead of paying another materialization action
+        scope = ids.unionByName(members.select(c)).distinct()
         base = self._pruned(self.verdicts, scope, c, exclude_batch_ids=[batch_id])
         if base is None:
             base = self._empty_verdicts()
@@ -384,26 +407,37 @@ class LiveCuration:
                     F.col("_th_new").isNotNull()
                     & ~F.col("_th_new").eqNullSafe(F.col("_th_old"))
                 ).alias("text_changed"),
+                F.col("_th_new").isNotNull().alias("_in_new"),
             )
         )
-        pop = materialize(pop)
-        near_rm = materialize(
-            pop.where("pop_old AND (NOT pop_new OR text_changed)").select(c)
+        # ONE action: the rm/add/extra branch decisions ride the pop
+        # materialization as observed sums (r5 paid three limit(1).count()
+        # probe jobs + two extra materializations here)
+        rm_cond = F.col("pop_old") & (~F.col("pop_new") | F.col("text_changed"))
+        add_cond = F.col("pop_new") & (~F.col("pop_old") | F.col("text_changed"))
+        obs_pop = Observation()
+        pop = materialize(
+            pop.observe(
+                obs_pop,
+                F.sum(rm_cond.cast("long")).alias("n_rm"),
+                F.sum(add_cond.cast("long")).alias("n_add"),
+                F.sum((add_cond & ~F.col("_in_new")).cast("long")).alias("n_extra"),
+            )
         )
-        near_add_ids = materialize(
-            pop.where("pop_new AND (NOT pop_old OR text_changed)").select(c)
-        )
+        pop_stats = obs_pop.get
+        near_rm = pop.where(rm_cond).select(c)
+        near_add_ids = pop.where(add_cond).select(c)
         stats_rm = stats_add = None
-        if near_rm.limit(1).count():
+        if int(pop_stats["n_rm"] or 0):
             stats_rm = self.near.remove_docs(near_rm, f"{batch_id}:rm")
-        if near_add_ids.limit(1).count():
+        if int(pop_stats["n_add"] or 0):
             # entrants pulled in by a keeper flip were not in the CDC batch:
             # reassemble their transcripts on demand (bounded by affected
             # fingerprint groups)
             have = new.join(near_add_ids, c, "leftsemi").select(c, "text")
-            extra_ids = near_add_ids.join(new.select(c), c, "left_anti")
             add_docs = have
-            if extra_ids.limit(1).count():
+            if int(pop_stats["n_extra"] or 0):
+                extra_ids = near_add_ids.join(new.select(c), c, "left_anti")
                 add_docs = have.unionByName(
                     self._transcripts_for(extra_ids).select(c, "text")
                 )
@@ -428,9 +462,8 @@ class LiveCuration:
         labels = materialize(labels)
 
         # -- 5. verdict upsert: every conv whose flags changed --
-        scope_all = materialize(
-            scope.unionByName(labels.select(c)).distinct()
-        )
+        # lazy union of checkpointed frames (same rationale as scope)
+        scope_all = scope.unionByName(labels.select(c)).distinct()
         base_all = self._pruned(
             self.verdicts, scope_all, c, exclude_batch_ids=[batch_id]
         )
@@ -518,8 +551,11 @@ class LiveCuration:
                 | ~F.col("_n_th").eqNullSafe(F.col("_b_th")) & is_new
             ).alias("_dirty"),
         )
-        writes = materialize(out.where("_dirty"))
-        n_writes = writes.count()
+        obs_w = Observation()
+        writes = materialize(
+            out.where("_dirty").observe(obs_w, F.count("*").alias("n"))
+        )
+        n_writes = int(obs_w.get["n"] or 0)
         if batch_id not in self.verdicts.committed_batches():
             seq = (
                 self.verdicts.watermark() + 1 if lsn_hi is None else int(lsn_hi)
@@ -541,8 +577,10 @@ class LiveCuration:
         return {
             "batch_id": batch_id,
             "replay": False,
-            "n_changed": ids.count(),
-            "n_deleted": deleted.count(),
+            # observed on the frames' own materialization actions — no
+            # separate count() jobs
+            "n_changed": int(obs_ids.get["n"] or 0),
+            "n_deleted": int(obs_del.get["n"] or 0),
             "n_exact_delta": n_delta,
             "near_rm": (stats_rm or {}).get("fold"),
             "near_add": (stats_add or {}).get("fold"),

@@ -36,8 +36,22 @@ from endor_blockchain_data_pipeline_spark.plans.partitioning import (
 )
 
 
-def dot_expr(a: Column, b: Column) -> Column:
-    """dot(a, b) via zip_with + aggregate — sequential fold, deterministic."""
+def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """dot(a, b) — sequential left fold, deterministic.
+
+    With ``dim`` given (the usual case: fixed-width embedding columns or a
+    literal query vector), the fold unrolls into an explicit left-assoc
+    add chain — IDENTICAL float64 result (same operation order) but pure
+    codegen arithmetic instead of an interpreted ``aggregate(zip_with)``
+    higher-order fold (per-element lambda dispatch + a zipped array
+    allocation per row — measured several times slower)."""
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            out = out + F.element_at(a, i).cast("double") * F.element_at(
+                b, i
+            ).cast("double")
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -45,14 +59,20 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
-def norm_expr(a: Column) -> Column:
+def norm_expr(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            e = F.element_at(a, i).cast("double")
+            out = out + e * e
+        return F.sqrt(out)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
 def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -83,7 +103,9 @@ def brute_force_topk(
     q = F.lit([float(x) for x in query_vec])
     scored = parallelize_for_fanout(df).select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim"),
+        F.round(cosine_expr(F.col(vec_col), q, len(query_vec)), 6).alias(
+            "cos_sim"
+        ),
     )
     return _ranked_topk(scored, k, id_col)
 
@@ -123,18 +145,21 @@ def srp_signature_expr(
 ) -> Column:
     """SRP signature as an int column: bit b = 1 iff dot(v, w[b]) > 0.
 
-    Weights are array literals — the projection is a codegen'd zip_with +
-    sequential aggregate fold per bit, no hashing in the hot path.
+    The per-bit projection is an UNROLLED left-assoc add/sub chain over
+    the ±1 literal weights (``x * 1.0 == x`` and ``x * -1.0 == -x``
+    exactly, and ``a + (-x) == a - x`` in IEEE-754, so the float64 result
+    is bit-identical to the previous ``aggregate(zip_with)`` fold — the
+    DuckDB oracle and the driver-side ``srp_signature_py`` still agree)
+    — pure codegen arithmetic, no per-element lambda dispatch and no
+    zipped-array allocation per row, no hashing in the hot path.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     total = F.lit(0).cast("long")
     for b, w in enumerate(weights):
-        warr = F.lit(list(w))
-        proj = F.aggregate(
-            F.zip_with(v, warr, lambda x, wd: x.cast("double") * wd),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = F.lit(0.0)
+        for d, wd in enumerate(w):
+            e = F.element_at(v, d + 1).cast("double")
+            proj = (proj + e) if wd > 0 else (proj - e)
         total = total + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -173,7 +198,8 @@ def srp_topk(
     q = F.lit([float(x) for x in query_vec])
     cands = parallelize_for_fanout(df).where(match)
     scored = cands.select(
-        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim")
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q, len(query_vec)), 6).alias("cos_sim"),
     )
     return _ranked_topk(scored, k, id_col)
 
@@ -305,9 +331,11 @@ def ivf_assign_expr(
       cosine is evaluated once into one array; first-max position gives the
       ascending-cid tie-break for free (centroids arrive sorted)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    nv = norm_expr(v)
+    dim = len(centroids[0][1])
+    nv = norm_expr(v, dim)
     coss = [
-        dot_expr(v, F.lit(cv)) / (nv * F.lit(_norm_py(cv))) for _, cv in centroids
+        dot_expr(v, F.lit(cv), dim) / (nv * F.lit(_norm_py(cv)))
+        for _, cv in centroids
     ]
     carr = F.array(*coss)
     pos = F.array_position(carr, F.array_max(carr)).cast("int")
@@ -346,7 +374,8 @@ def ivf_topk(
         ivf_assign_expr(vec_col, centroids).isin(probe_ids)
     )
     scored = cands.select(
-        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim")
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q, len(query_vec)), 6).alias("cos_sim"),
     )
     return _ranked_topk(scored, k, id_col)
 
@@ -388,7 +417,8 @@ def ivf_topk_indexed(
     q = F.lit([float(x) for x in query_vec])
     cands = spark.read.parquet(path).where(F.col("bucket").isin(probe_ids))
     scored = cands.select(
-        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos_sim")
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q, len(query_vec)), 6).alias("cos_sim"),
     )
     return _ranked_topk(scored, k, id_col)
 
@@ -432,7 +462,9 @@ def embedding_near_dup(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos_sim"),
+        F.round(
+            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim), 6
+        ).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= threshold)
 
@@ -665,6 +697,8 @@ class IvfIndex:
         cands = self.read().where(F.col("bucket").isin(probe_ids))
         scored = cands.select(
             F.col(self.id_col),
-            F.round(cosine_expr(F.col(self.vec_col), q), 6).alias("cos_sim"),
+            F.round(
+                cosine_expr(F.col(self.vec_col), q, len(query_vec)), 6
+            ).alias("cos_sim"),
         )
         return _ranked_topk(scored, k, self.id_col)

@@ -558,8 +558,14 @@ class ManifestTable:
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self._data_dir, commit_id)
         # partitionBy gives dir-per-bucket; repartition by _bucket first so a
-        # bucket's rows land in few files (AQE coalesces small shuffles).
-        df.repartition("_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(commit_dir)
+        # bucket's rows land in ONE file each. Pinning numPartitions to the
+        # bucket count keeps the per-bucket parquet-writer inits PARALLEL
+        # (AQE would coalesce a small batch to one task that opens every
+        # bucket's file serially — measured 2x slower on maintenance-sized
+        # commits) and scales with the table's own layout at any data size.
+        # mode: the commit dir is a fresh uuid per stage, so append==create;
+        # append skips the dynamic-partition-overwrite commit bookkeeping.
+        df.repartition(self.n_buckets, "_bucket").write.mode("append").partitionBy("_bucket").parquet(commit_dir)
         if _timing:
             print(f"[commit {batch_id}] write: {_time.time()-_t0:.2f}s", flush=True)
 

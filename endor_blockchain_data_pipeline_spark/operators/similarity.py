@@ -37,21 +37,12 @@ from endor_blockchain_data_pipeline_spark.plans.partitioning import (
 
 
 def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
-    """dot(a, b) — sequential left fold, deterministic.
+    """dot(a, b) via zip_with + aggregate — sequential fold, deterministic.
 
-    With ``dim`` given (the usual case: fixed-width embedding columns or a
-    literal query vector), the fold unrolls into an explicit left-assoc
-    add chain — IDENTICAL float64 result (same operation order) but pure
-    codegen arithmetic instead of an interpreted ``aggregate(zip_with)``
-    higher-order fold (per-element lambda dispatch + a zipped array
-    allocation per row — measured several times slower)."""
-    if dim is not None:
-        out = F.lit(0.0)
-        for i in range(1, dim + 1):
-            out = out + F.element_at(a, i).cast("double") * F.element_at(
-                b, i
-            ).cast("double")
-        return out
+    ``dim`` is accepted (and ignored) for call-site uniformity: an
+    unrolled 64-term add chain was tried here and measured 3-7x SLOWER —
+    the deep Add tree falls out of whole-stage codegen into interpreted
+    evaluation; the HOF fold stays the fastest exact-order form."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -60,12 +51,6 @@ def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def norm_expr(a: Column, dim: int | None = None) -> Column:
-    if dim is not None:
-        out = F.lit(0.0)
-        for i in range(1, dim + 1):
-            e = F.element_at(a, i).cast("double")
-            out = out + e * e
-        return F.sqrt(out)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
@@ -145,21 +130,20 @@ def srp_signature_expr(
 ) -> Column:
     """SRP signature as an int column: bit b = 1 iff dot(v, w[b]) > 0.
 
-    The per-bit projection is an UNROLLED left-assoc add/sub chain over
-    the ±1 literal weights (``x * 1.0 == x`` and ``x * -1.0 == -x``
-    exactly, and ``a + (-x) == a - x`` in IEEE-754, so the float64 result
-    is bit-identical to the previous ``aggregate(zip_with)`` fold — the
-    DuckDB oracle and the driver-side ``srp_signature_py`` still agree)
-    — pure codegen arithmetic, no per-element lambda dispatch and no
-    zipped-array allocation per row, no hashing in the hot path.
+    Weights are array literals — the projection is a codegen'd zip_with +
+    sequential aggregate fold per bit, no hashing in the hot path. (An
+    unrolled ±add/sub chain was tried and measured ~3x slower: the deep
+    Add tree falls out of whole-stage codegen into interpreted eval.)
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     total = F.lit(0).cast("long")
     for b, w in enumerate(weights):
-        proj = F.lit(0.0)
-        for d, wd in enumerate(w):
-            e = F.element_at(v, d + 1).cast("double")
-            proj = (proj + e) if wd > 0 else (proj - e)
+        warr = F.lit(list(w))
+        proj = F.aggregate(
+            F.zip_with(v, warr, lambda x, wd: x.cast("double") * wd),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         total = total + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

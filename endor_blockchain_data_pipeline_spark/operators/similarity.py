@@ -173,10 +173,26 @@ def srp_topk(
     fold order ⇒ bit-identical float64), zero extra Spark jobs.
     """
     match = None
+    v = F.col(vec_col) if isinstance(vec_col, str) else F.col(vec_col)
     for t in range(n_tables):
         weights = srp_weights(n_bits, len(query_vec), seed + t)
         qsig = srp_signature_py(query_vec, weights)
-        eq = srp_signature_expr(vec_col, weights) == F.lit(qsig)
+        # bucket match as an AND of per-bit comparisons instead of
+        # composing the full integer signature: codegen's And
+        # short-circuits, so a row stops after its first mismatching bit
+        # (~1.9 projection folds evaluated per table on average instead
+        # of all n_bits) — identical match set, the signature integer was
+        # only ever compared for equality here
+        eq = None
+        for b, w in enumerate(weights):
+            warr = F.lit(list(w))
+            proj = F.aggregate(
+                F.zip_with(v, warr, lambda x, wd: x.cast("double") * wd),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = (proj > 0) == F.lit(bool((qsig >> b) & 1))
+            eq = bit if eq is None else eq & bit
         match = eq if match is None else (match | eq)
 
     q = F.lit([float(x) for x in query_vec])

@@ -112,7 +112,12 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> DataFrame:
+def lsh_bands(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    carry_all: bool = False,
+) -> DataFrame:
     """Signature -> (band_idx, band_key) rows; docs sharing a band_key are
     near-dup candidates. rows_per_band = n_hashes / n_bands.
 
@@ -129,6 +134,17 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> Data
         F.md5(F.concat_ws("|", *[F.col(mh_cols[b * rows + j]) for j in range(rows)]))
         for b in range(n_bands)
     ]
+    if carry_all:
+        # each band row additionally carries the doc's FULL band-key array
+        # so an uncapped self-join can dedupe pairs positionally ("first
+        # shared band wins") instead of a distinct — see minhash_candidates
+        return sigs.select(
+            F.col(id_col), F.array(*band_keys).alias("_bks")
+        ).select(
+            F.col(id_col),
+            "_bks",
+            F.posexplode("_bks").alias("band_idx", "band_key"),
+        )
     return sigs.select(
         F.col(id_col),
         F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
@@ -186,25 +202,53 @@ def minhash_candidates(
     ``plans.partitioning.materialize`` picks localCheckpoint, or a reliable
     ``checkpoint()`` when the session has a checkpoint dir (real cluster).
     """
-    bands = materialize(
-        lsh_bands(
-            minhash_signatures(df, text_col, id_col, k_shingle, n_hashes, hash_fn),
-            id_col,
-            n_bands,
+    sigs = minhash_signatures(df, text_col, id_col, k_shingle, n_hashes, hash_fn)
+    if max_bucket_size is not None:
+        # capped joins must keep the distinct: the positional dedup below
+        # requires every band row present (a pair whose FIRST shared band
+        # sits in a capped-out bucket would otherwise be suppressed at its
+        # later bands too)
+        bands = materialize(lsh_bands(sigs, id_col, n_bands))
+        bands = cap_bucket_size(bands, ["band_idx", "band_key"], max_bucket_size)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-    )
-    bands = cap_bucket_size(bands, ["band_idx", "band_key"], max_bucket_size)
+    # uncapped: emit each pair exactly once from the FIRST band the docs
+    # share — identical pair set to the old join+distinct, without the
+    # full hash-aggregate shuffle of the (almost entirely unique) pairs
+    bands = materialize(lsh_bands(sigs, id_col, n_bands, carry_all=True))
     a = bands.alias("a")
     b = bands.alias("b")
+    first_shared = F.lit(True)
+    for j in range(n_bands - 1):
+        first_shared = first_shared & (
+            (F.col("a.band_idx") <= j)
+            | (
+                F.element_at(F.col("a._bks"), j + 1)
+                != F.element_at(F.col("b._bks"), j + 1)
+            )
+        )
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & first_shared,
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
 
 
@@ -563,10 +607,32 @@ def dedup_simhash(
     full hash aggregate (~11 s) to remove 1.3% of them; the positional
     filter drops the same rows inside the join's codegen for free.
     """
+    if max_bucket_size is not None:
+        # the positional dedup below requires every band row to be present
+        # (a pair whose FIRST shared band sits in a capped-out bucket
+        # would otherwise be suppressed at its later bands too) — capped
+        # joins keep the distinct
+        bands = materialize(simhash_bands(df, text_col, id_col, band_bits))
+        bands = cap_bucket_size(
+            bands, ["band_idx", "band_val"], max_bucket_size
+        )
+        a, b_ = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b_,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     bands = materialize(
         simhash_bands(df, text_col, id_col, band_bits, carry_all=True)
     )
-    bands = cap_bucket_size(bands, ["band_idx", "band_val"], max_bucket_size)
     a, b_ = bands.alias("a"), bands.alias("b")
     # "no earlier band matches", unrolled per position (band count is
     # static) — plain codegen comparisons, no higher-order functions in

@@ -191,7 +191,11 @@ def srp_topk(
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            bit = (proj > 0) == F.lit(bool((qsig >> b) & 1))
+            # coalesce(null -> false) reproduces the composed-signature
+            # form's bit-0 default for null/short vectors exactly
+            bit = F.coalesce(proj > 0, F.lit(False)) == F.lit(
+                bool((qsig >> b) & 1)
+            )
             eq = bit if eq is None else eq & bit
         match = eq if match is None else (match | eq)
 

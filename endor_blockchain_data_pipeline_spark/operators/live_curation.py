@@ -335,30 +335,54 @@ class LiveCuration:
         to_add = delta.where("NOT _rm").drop("_rm")
         affected_fps = delta.select("fingerprint").distinct()
         n_delta = int(obs_delta.get["n"] or 0)
+        exact_fut = None
         if n_delta and batch_id not in self.exact.committed_batches():
+            import concurrent.futures as _cf
+
             seq = self.exact.watermark() + 1
             frame = self._internals(to_remove, batch_id, seq, True).unionByName(
                 self._internals(to_add, batch_id, seq, False)
             )
-            self.exact.commit(frame, batch_id, seq, seq, None, mode="append")
+            # the commit no longer gates anything (keepers are computed
+            # from the pre-state + delta below, which the window merge
+            # makes exactly equal to the post-commit state), so its stage
+            # write runs CONCURRENTLY with the near-index folds (FIFO
+            # back-fill); joined before the verdicts completion marker.
+            exact_pool = _cf.ThreadPoolExecutor(max_workers=1)
+            exact_fut = exact_pool.submit(
+                self.exact.commit, frame, batch_id, seq, seq, None,
+                mode="append",
+            )
+            exact_pool.shutdown(wait=False)
 
-        # -- keepers of the affected fingerprints, post-commit state --
-        members = self._pruned(self.exact, affected_fps, "fingerprint")
-        if members is not None:
-            w_keep = members.groupBy("fingerprint").agg(
-                F.min(c).alias("_keep_id")
+        # -- keepers of the affected fingerprints: pre-batch state + delta.
+        # post-commit live membership == (pre-live \ to_remove) ∪ to_add
+        # (tombstones kill per-key predecessors, appends add/resurrect —
+        # the window merge per (fingerprint, conv) key guarantees it), so
+        # no read-after-write barrier; replay reads the same pre state
+        # because the pruned read excludes this batch id.
+        pre = self._pruned(
+            self.exact, affected_fps, "fingerprint",
+            exclude_batch_ids=[batch_id],
+        )
+        base_m = (
+            pre.select(c, "fingerprint")
+            if pre is not None
+            else to_add.limit(0)
+        )
+        live = (
+            base_m.join(to_remove, [c, "fingerprint"], "left_anti")
+            .unionByName(to_add)
+            .distinct()
+        )
+        w_keep = live.groupBy("fingerprint").agg(F.min(c).alias("_keep_id"))
+        members = materialize(
+            live.join(w_keep, "fingerprint").select(
+                c,
+                "fingerprint",
+                (F.col(c) == F.col("_keep_id")).alias("exact_keep"),
             )
-            members = materialize(
-                members.join(w_keep, "fingerprint").select(
-                    c,
-                    "fingerprint",
-                    (F.col(c) == F.col("_keep_id")).alias("exact_keep"),
-                )
-            )
-        else:
-            members = new.select(c, "fingerprint").limit(0).withColumn(
-                "exact_keep", F.lit(False)
-            )
+        )
 
         # -- 3. near-population diff over changed ∪ affected-fp members --
         # lazy: both inputs are checkpointed, every consumer re-derives the
@@ -556,6 +580,12 @@ class LiveCuration:
             out.where("_dirty").observe(obs_w, F.count("*").alias("n"))
         )
         n_writes = int(obs_w.get["n"] or 0)
+        if exact_fut is not None:
+            # the exact commit must land before the verdicts commit (the
+            # refresh completion marker); surfacing its error here keeps
+            # the crash-window contract (verdicts never marks a batch done
+            # over a failed sub-commit)
+            exact_fut.result()
         if batch_id not in self.verdicts.committed_batches():
             seq = (
                 self.verdicts.watermark() + 1 if lsn_hi is None else int(lsn_hi)

@@ -86,6 +86,7 @@ class DedupIndex:
         n_buckets: int = 16,
         driver_pair_limit: int | None = None,
         id_type: str = "long",
+        small_commit_rows: int = 0,
     ) -> None:
         if id_type not in ("long", "string"):
             raise ValueError(f"id_type must be 'long' or 'string', got {id_type!r}")
@@ -141,12 +142,16 @@ class DedupIndex:
         # (including compaction's) is forced onto the per-key window merge —
         # the lsn-equality broadcast join-back is unsound here and the table
         # itself now refuses it.
+        # small_commit_rows: writer-side fast path for delta-scoped folds
+        # (the live-curation near index) — 0 (default) keeps standalone
+        # corpus-scale ingestion fully distributed (see ManifestTable).
         self.bands = ManifestTable(
             os.path.join(root, "bands"),
             n_buckets=n_buckets,
             key_cols=(id_col, "band_idx"),
             bucket_key=id_col,
             unique_lsn=False,
+            small_commit_rows=small_commit_rows,
         )
         self.clusters = ManifestTable(
             os.path.join(root, "clusters"),
@@ -154,6 +159,7 @@ class DedupIndex:
             key_cols=(id_col,),
             bucket_key=id_col,
             unique_lsn=False,
+            small_commit_rows=small_commit_rows,
         )
 
     # ---------------- reads ----------------

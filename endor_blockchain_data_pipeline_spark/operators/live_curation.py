@@ -120,6 +120,7 @@ class LiveCuration:
         dup_word_max: float | None = None,
         symbol_ratio_max: float | None = None,
         n_buckets: int = 16,
+        small_commit_rows: int | None = None,
         **index_params,
     ) -> None:
         self.spark = spark
@@ -159,6 +160,18 @@ class LiveCuration:
             }
             with open(pfile, "w") as fh:
                 json.dump(self.params, fh)
+        # Refresh commits are O(changed conversations + blast radius) by
+        # contract, so the stores default to the lake's driver-side
+        # small-commit staging (one Arrow collect + local bucket writes per
+        # commit instead of a shuffle+write Spark job — the refresh's fixed
+        # cost is ~7 such commits per batch). The threshold is advisory
+        # sizing, env-tunable for production batch profiles; a collect that
+        # overruns the driver's result cap falls back to the distributed
+        # write, so an unexpectedly large delta degrades in speed only.
+        if small_commit_rows is None:
+            small_commit_rows = int(
+                os.environ.get("ENDOR_SMALL_COMMIT_ROWS", "250000")
+            )
         # per-BATCH _lsn on all three stores -> window merge only
         self.exact = ManifestTable(
             os.path.join(root, "exact"),
@@ -166,6 +179,7 @@ class LiveCuration:
             key_cols=("fingerprint", conv_col),
             bucket_key="fingerprint",
             unique_lsn=False,
+            small_commit_rows=small_commit_rows,
         )
         self.verdicts = ManifestTable(
             os.path.join(root, "verdicts"),
@@ -173,6 +187,7 @@ class LiveCuration:
             key_cols=(conv_col,),
             bucket_key=conv_col,
             unique_lsn=False,
+            small_commit_rows=small_commit_rows,
         )
         self.near = DedupIndex(
             spark,
@@ -180,6 +195,7 @@ class LiveCuration:
             id_col=conv_col,
             id_type="string",
             n_buckets=n_buckets,
+            small_commit_rows=small_commit_rows,
             **index_params,
         )
 

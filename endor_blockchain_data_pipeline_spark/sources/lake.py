@@ -180,8 +180,19 @@ class ManifestTable:
         bucket_key: str | None = None,
         unique_lsn: bool | None = None,
         semantics: str | None = None,
+        small_commit_rows: int = 0,
     ) -> None:
         self.path = path
+        # Writer-side (NOT layout, not persisted): tables whose commits are
+        # delta-scoped by contract (curation verdicts, dedup-index folds —
+        # O(changed) rows per batch) may set small_commit_rows > 0 to stage
+        # via ONE driver-side Arrow collect + local parquet write instead of
+        # a full shuffle+write Spark job per commit. The value documents the
+        # caller's expected delta size; a collect that exceeds the driver's
+        # result cap falls back to the distributed write, so correctness
+        # never depends on the promise. Keep 0 for unbounded feeds (the CDC
+        # merge path) where staging must stay fully distributed.
+        self.small_commit_rows = int(small_commit_rows)
         # Remember which layout params the CALLER pinned: on reopen of an
         # existing table the manifest's stored layout is adopted, and a
         # pinned value that CONFLICTS with it raises instead of silently
@@ -557,6 +568,16 @@ class ManifestTable:
         _t0 = _time.time()
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self._data_dir, commit_id)
+        if self.small_commit_rows > 0:
+            staged = self._stage_driver(df, commit_dir)
+            if staged is not None:
+                if _timing:
+                    print(
+                        f"[commit {batch_id}] driver-stage: "
+                        f"{_time.time()-_t0:.2f}s",
+                        flush=True,
+                    )
+                return staged
         # partitionBy gives dir-per-bucket; repartition by _bucket first so a
         # bucket's rows land in ONE file each. Pinning numPartitions to the
         # bucket count keeps the per-bucket parquet-writer inits PARALLEL
@@ -604,6 +625,63 @@ class ManifestTable:
                 bucket_stats[b] = st
 
         data_schema = T.StructType([f for f in df.schema.fields if f.name != "_bucket"])
+        return {
+            "new_buckets": new_buckets,
+            "bucket_stats": bucket_stats,
+            "data_schema": data_schema,
+        }
+
+    def _stage_driver(self, df: DataFrame, commit_dir: str) -> dict | None:
+        """Small-commit fast path: one Arrow collect, local per-bucket writes.
+
+        A maintenance-sized commit (hundreds to a few hundred thousand rows)
+        pays more in Spark job fixed cost — shuffle, one write task per
+        bucket, parquet writer inits, committer bookkeeping — than the data
+        itself costs to move. Collect the frame once as Arrow, slice it per
+        bucket on the driver, and write each bucket's single file with
+        pyarrow into the SAME ``_bucket=<b>/`` layout the distributed writer
+        produces; readers cannot tell the paths apart (explicit manifest
+        schema over listed files). Returns None to fall back to the
+        distributed write when the collect exceeds the driver's result cap —
+        the ``small_commit_rows`` contract is advisory, never load-bearing.
+        """
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        try:
+            tbl = df.toArrow()
+        except Exception:
+            return None  # result-size cap or Arrow conversion gap: go distributed
+        os.makedirs(commit_dir, exist_ok=True)
+        bcol = tbl.column("_bucket")
+        data = tbl.drop_columns(["_bucket"])
+        lsn_idx = (
+            data.column_names.index("_lsn") if "_lsn" in data.column_names else None
+        )
+        new_buckets: dict[str, list[str]] = {}
+        bucket_stats: dict[str, dict] = {}
+        for b in sorted(_pc.unique(bcol).to_pylist()):
+            mask = _pc.equal(bcol, b)
+            sub = data.filter(mask)
+            bname = str(int(b))
+            bdir = os.path.join(commit_dir, f"_bucket={bname}")
+            os.makedirs(bdir, exist_ok=True)
+            fname = f"part-{uuid.uuid4().hex[:12]}.snappy.parquet"
+            fpath = os.path.join(bdir, fname)
+            _pq.write_table(sub, fpath, compression="snappy")
+            mn = mx = None
+            if lsn_idx is not None and sub.num_rows:
+                mm = _pc.min_max(sub.column(lsn_idx))
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            new_buckets[bname] = [os.path.relpath(fpath, self.path)]
+            bucket_stats[bname] = {
+                "n_rows": sub.num_rows,
+                "min_lsn": mn,
+                "max_lsn": mx,
+            }
+        data_schema = T.StructType(
+            [f for f in df.schema.fields if f.name != "_bucket"]
+        )
         return {
             "new_buckets": new_buckets,
             "bucket_stats": bucket_stats,

@@ -823,8 +823,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # small_commit_rows: this query's per-batch band/label frames are
+    # documents-table-sized (thousands to tens of thousands of rows at any
+    # bench SF), so its four fold commits take the lake's driver-side
+    # small-commit staging; write path only — the keep-list rows are
+    # identical (parity pinned by tests/test_small_commit.py) and a larger
+    # corpus falls back to the distributed writer.
     idx = DedupIndex(
-        spark, _fresh_scratch("incdedup", sf_dir)
+        spark, _fresh_scratch("incdedup", sf_dir), small_commit_rows=1_000_000
     )  # k_shingle=12, n_hashes=4, n_bands=2, md5_long
     idx.add_batch(d.where(F.col("doc_id") % 2 == 0), "b-even")
     idx.add_batch(d.where(F.col("doc_id") % 2 == 1), "b-odd")
@@ -842,7 +848,10 @@ def q_incremental_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = DedupIndex(spark, _fresh_scratch("incdedup-rm", sf_dir))
+    # same small-commit rationale as q_incremental_dedup above
+    idx = DedupIndex(
+        spark, _fresh_scratch("incdedup-rm", sf_dir), small_commit_rows=1_000_000
+    )
     idx.add_batch(d.where(F.col("doc_id") % 2 == 0), "b-even")
     idx.add_batch(d.where(F.col("doc_id") % 2 == 1), "b-odd")
     idx.remove_docs(list(_REMOVED_DOC_IDS), "rm-takedown")

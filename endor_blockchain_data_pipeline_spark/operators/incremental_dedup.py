@@ -369,7 +369,10 @@ class DedupIndex:
         # collected every batch doc id (O(batch) driver traffic) just to
         # emit identity labels.
         label_schema = f"{id_col} {self.id_type}, cluster_id {self.id_type}"
-        new_ids_df = new_bands.select(id_col).distinct()
+        # one row per doc WITHOUT a distinct shuffle: signatures are a
+        # groupBy(id) (ids unique), so every doc has exactly one band_idx=0
+        # row in the materialized bands
+        new_ids_df = new_bands.where(F.col("band_idx") == 0).select(id_col)
         resolved = [(i, find(i)) for i in sorted(parent)]
         if resolved:
             tl = F.broadcast(self.spark.createDataFrame(resolved, label_schema))

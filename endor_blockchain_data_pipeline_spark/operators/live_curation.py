@@ -207,40 +207,58 @@ class LiveCuration:
         return table.read(self.spark, **kw)
 
     def _pruned(
-        self, table: ManifestTable, keys: DataFrame, key_col: str, **kw
+        self,
+        table: ManifestTable,
+        keys: DataFrame,
+        key_col: str,
+        buckets: list | None = None,
+        **kw,
     ) -> DataFrame | None:
         """Bucket-pruned point-lookup read: hash the (small) key frame to
         its bucket ids (collect is bounded by n_buckets), hand the manifest
-        only those buckets' files, then semi-join the keys back."""
+        only those buckets' files, then semi-join the keys back.
+
+        ``buckets``: the key frame's bucket-id set when the caller already
+        has it — ``refresh`` observes ``collect_set(bucket_expr(..))`` on
+        the frames' own materialization actions, so no pruned read pays a
+        standalone collect job (bounded by n_buckets either way)."""
         if table.manifest() is None:
             return None
-        buckets = [
-            r["b"]
-            for r in keys.select(
-                bucket_expr(table.bucket_key, table.n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not buckets:
-            return None
-        df = table.read(self.spark, buckets=buckets, **kw)
-        return df.join(F.broadcast(keys), key_col, "leftsemi")
-
-    def _transcripts_for(self, ids: DataFrame) -> DataFrame:
-        # Bucket-prune the lake read when its bucket key IS the conv id
-        # (the CDC default layout); otherwise the semi-join alone prunes
-        # via the broadcast build side.
-        kw = {}
-        if self.lake.bucket_key == self.conv_col:
-            kw["buckets"] = [
+        if buckets is None:
+            buckets = [
                 r["b"]
-                for r in ids.select(
-                    bucket_expr(self.lake.bucket_key, self.lake.n_buckets).alias("b")
+                for r in keys.select(
+                    bucket_expr(table.bucket_key, table.n_buckets).alias("b")
                 )
                 .distinct()
                 .collect()
             ]
+        if not buckets:
+            return None
+        df = table.read(self.spark, buckets=[int(b) for b in buckets], **kw)
+        return df.join(F.broadcast(keys), key_col, "leftsemi")
+
+    def _transcripts_for(
+        self, ids: DataFrame, buckets: list | None = None
+    ) -> DataFrame:
+        # Bucket-prune the lake read when its bucket key IS the conv id
+        # (the CDC default layout); otherwise the semi-join alone prunes
+        # via the broadcast build side. ``buckets``: precomputed bucket-id
+        # set (same observation ride-along contract as ``_pruned``).
+        kw = {}
+        if self.lake.bucket_key == self.conv_col:
+            if buckets is None:
+                buckets = [
+                    r["b"]
+                    for r in ids.select(
+                        bucket_expr(
+                            self.lake.bucket_key, self.lake.n_buckets
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+            kw["buckets"] = [int(b) for b in buckets]
         state = self.lake.read(self.spark, **kw).join(
             F.broadcast(ids), self.conv_col, "leftsemi"
         )
@@ -307,24 +325,44 @@ class LiveCuration:
             ids = self.spark.createDataFrame(
                 [(str(i),) for i in sorted(set(changed_ids))], f"{c} string"
             )
-        # stats counts ride the materialization actions (Observation) —
-        # refresh never runs a separate count() job (the r5 ~30s/batch fixed
-        # cost was almost entirely driver-side job scheduling of such probes)
+        # stats counts AND bucket-id sets ride the materialization actions
+        # (Observation) — refresh never runs a separate count() job, and no
+        # pruned read pays a standalone bucket-collect job either: the
+        # collect_set(bucket_expr) metrics below are bounded by n_buckets
+        # (the r5 ~30s/batch fixed cost was almost entirely driver-side job
+        # scheduling of such probes)
+        v_bucket = bucket_expr(self.verdicts.bucket_key, self.verdicts.n_buckets)
         obs_ids = Observation()
-        ids = materialize(ids.observe(obs_ids, F.count("*").alias("n")))
+        id_mets = [
+            F.count("*").alias("n"),
+            F.collect_set(v_bucket).alias("_vb"),
+        ]
+        if self.lake.bucket_key == c:
+            id_mets.append(
+                F.collect_set(
+                    bucket_expr(self.lake.bucket_key, self.lake.n_buckets)
+                ).alias("_lb")
+            )
+        ids = materialize(ids.observe(obs_ids, *id_mets))
+        m_ids = obs_ids.get
 
         # -- 1. old verdict rows + new transcripts of the changed convs --
-        old = self._pruned(self.verdicts, ids, c, exclude_batch_ids=[batch_id])
-        new = materialize(self._flag_docs(self._transcripts_for(ids)))
-        obs_del = Observation()
-        deleted = materialize(
-            (
-                ids.join(new.select(c), c, "left_anti")
-                if old is None
-                else ids.join(new.select(c), c, "left_anti").join(
-                    old.select(c), c, "leftsemi"
-                )
-            ).observe(obs_del, F.count("*").alias("n"))
+        old = self._pruned(
+            self.verdicts, ids, c, buckets=m_ids["_vb"],
+            exclude_batch_ids=[batch_id],
+        )
+        new = materialize(
+            self._flag_docs(self._transcripts_for(ids, buckets=m_ids.get("_lb")))
+        )
+        # lazy: derived from two checkpointed frames; its count rides the
+        # pop materialization below (the r6 first pass paid a standalone
+        # materialize + count action here)
+        deleted = (
+            ids.join(new.select(c), c, "left_anti")
+            if old is None
+            else ids.join(new.select(c), c, "left_anti").join(
+                old.select(c), c, "leftsemi"
+            )
         )
 
         # -- 2. exact-index membership diff (quality-passers only) --
@@ -345,12 +383,19 @@ class LiveCuration:
                     "_rm", F.lit(False)
                 )
             )
-            .observe(obs_delta, F.count("*").alias("n"))
+            .observe(
+                obs_delta,
+                F.count("*").alias("n"),
+                F.collect_set(
+                    bucket_expr(self.exact.bucket_key, self.exact.n_buckets)
+                ).alias("_fb"),
+            )
         )
         to_remove = delta.where("_rm").drop("_rm")
         to_add = delta.where("NOT _rm").drop("_rm")
         affected_fps = delta.select("fingerprint").distinct()
-        n_delta = int(obs_delta.get["n"] or 0)
+        m_delta = obs_delta.get
+        n_delta = int(m_delta["n"] or 0)
         exact_fut = None
         if n_delta and batch_id not in self.exact.committed_batches():
             import concurrent.futures as _cf
@@ -378,7 +423,7 @@ class LiveCuration:
         # no read-after-write barrier; replay reads the same pre state
         # because the pruned read excludes this batch id.
         pre = self._pruned(
-            self.exact, affected_fps, "fingerprint",
+            self.exact, affected_fps, "fingerprint", buckets=m_delta["_fb"],
             exclude_batch_ids=[batch_id],
         )
         base_m = (
@@ -392,19 +437,27 @@ class LiveCuration:
             .distinct()
         )
         w_keep = live.groupBy("fingerprint").agg(F.min(c).alias("_keep_id"))
+        obs_mem = Observation()
         members = materialize(
-            live.join(w_keep, "fingerprint").select(
+            live.join(w_keep, "fingerprint")
+            .select(
                 c,
                 "fingerprint",
                 (F.col(c) == F.col("_keep_id")).alias("exact_keep"),
             )
+            .observe(obs_mem, F.collect_set(v_bucket).alias("_vb"))
         )
 
         # -- 3. near-population diff over changed ∪ affected-fp members --
         # lazy: both inputs are checkpointed, every consumer re-derives the
-        # tiny union instead of paying another materialization action
+        # tiny union instead of paying another materialization action; its
+        # verdict-bucket set is the union of the inputs' observed sets
         scope = ids.unionByName(members.select(c)).distinct()
-        base = self._pruned(self.verdicts, scope, c, exclude_batch_ids=[batch_id])
+        scope_buckets = sorted(set(m_ids["_vb"]) | set(obs_mem.get["_vb"]))
+        base = self._pruned(
+            self.verdicts, scope, c, buckets=scope_buckets,
+            exclude_batch_ids=[batch_id],
+        )
         if base is None:
             base = self._empty_verdicts()
         # pop_new resolution order: membership verdict of an affected
@@ -448,11 +501,15 @@ class LiveCuration:
                     & ~F.col("_th_new").eqNullSafe(F.col("_th_old"))
                 ).alias("text_changed"),
                 F.col("_th_new").isNotNull().alias("_in_new"),
+                # carried so the verdict merge reuses it instead of joining
+                # the lazy `deleted` a second time; its sum is n_deleted
+                F.coalesce("_del", F.lit(False)).alias("_del"),
             )
         )
-        # ONE action: the rm/add/extra branch decisions ride the pop
-        # materialization as observed sums (r5 paid three limit(1).count()
-        # probe jobs + two extra materializations here)
+        # ONE action: the rm/add/extra branch decisions AND the deleted
+        # count ride the pop materialization as observed sums (r5 paid
+        # three limit(1).count() probe jobs + two extra materializations
+        # here, the r6 first pass still a standalone `deleted` action)
         rm_cond = F.col("pop_old") & (~F.col("pop_new") | F.col("text_changed"))
         add_cond = F.col("pop_new") & (~F.col("pop_old") | F.col("text_changed"))
         obs_pop = Observation()
@@ -462,6 +519,7 @@ class LiveCuration:
                 F.sum(rm_cond.cast("long")).alias("n_rm"),
                 F.sum(add_cond.cast("long")).alias("n_add"),
                 F.sum((add_cond & ~F.col("_in_new")).cast("long")).alias("n_extra"),
+                F.sum(F.col("_del").cast("long")).alias("n_del"),
             )
         )
         pop_stats = obs_pop.get
@@ -499,13 +557,18 @@ class LiveCuration:
             ).select(c, (F.col("cluster_id") == F.col(c)).alias("_near_new"))
         else:
             labels = self._empty_labels()
-        labels = materialize(labels)
+        obs_lab = Observation()
+        labels = materialize(
+            labels.observe(obs_lab, F.collect_set(v_bucket).alias("_vb"))
+        )
 
         # -- 5. verdict upsert: every conv whose flags changed --
         # lazy union of checkpointed frames (same rationale as scope)
         scope_all = scope.unionByName(labels.select(c)).distinct()
         base_all = self._pruned(
-            self.verdicts, scope_all, c, exclude_batch_ids=[batch_id]
+            self.verdicts, scope_all, c,
+            buckets=sorted(set(scope_buckets) | set(obs_lab.get["_vb"])),
+            exclude_batch_ids=[batch_id],
         )
         if base_all is None:
             base_all = self._empty_verdicts()
@@ -531,9 +594,11 @@ class LiveCuration:
             .join(members.select(c, F.col("exact_keep").alias("_m_e")), c, "left")
             .join(labels, c, "left")
             .join(
-                pop.select(c, "pop_new", "pop_old"), c, "left"
+                # _del rides pop (every deleted conv is in scope ⊆ pop; a
+                # labels-only conv outside pop left-joins to null = not
+                # deleted, same as the old second `deleted` join)
+                pop.select(c, "pop_new", "pop_old", "_del"), c, "left"
             )
-            .join(deleted.withColumn("_del", F.lit(True)), c, "left")
         )
         is_new = F.col("_n_th").isNotNull()
         qual = F.when(is_new, F.col("_n_q")).otherwise(
@@ -625,8 +690,8 @@ class LiveCuration:
             "replay": False,
             # observed on the frames' own materialization actions — no
             # separate count() jobs
-            "n_changed": int(obs_ids.get["n"] or 0),
-            "n_deleted": int(obs_del.get["n"] or 0),
+            "n_changed": int(m_ids["n"] or 0),
+            "n_deleted": int(pop_stats["n_del"] or 0),
             "n_exact_delta": n_delta,
             "near_rm": (stats_rm or {}).get("fold"),
             "near_add": (stats_add or {}).get("fold"),

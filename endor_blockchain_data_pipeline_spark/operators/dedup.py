@@ -318,30 +318,67 @@ DUP_CLUSTERS_DRIVER_PAIR_LIMIT = int(
 )
 
 
-def _union_find_clusters(rows, spark, id_type) -> DataFrame:
-    """Driver-side CC over collected (src, dst) rows -> (node, cluster_id)."""
+def _arrow_col(tbl, name):
+    """A pyarrow column as a numpy array (int64 for longs, object for
+    strings) — the driver-side collect format for the fold helpers below.
+    ~3x faster than ``.collect()``'s per-Row py4j/pickle round-trip."""
+    import numpy as np
+
+    return np.asarray(tbl.column(name).to_numpy(zero_copy_only=False))
+
+
+def _min_label_components(src, dst, extra_nodes=None):
+    """Exact connected components on the driver, vectorized.
+
+    Min-label propagation with pointer jumping over numpy index arrays:
+    identical output to the classic union-find (every node labeled with the
+    MINIMUM id of its component — np.unique's sort makes index order agree
+    with id order, so the min index IS the min id), without the per-edge
+    Python loop (~2x faster at 250k edges, and the gap grows with edge
+    count; verified equal to the union-find on randomized graphs, long and
+    string ids). ``extra_nodes`` adds edge-less nodes that must still label
+    themselves (takedown singletons). Returns (nodes, labels): sorted
+    unique node ids and their cluster ids, same dtype as the inputs.
+    """
+    import numpy as np
+
+    parts = [src, dst] + ([extra_nodes] if extra_nodes is not None else [])
+    u, inv = np.unique(np.concatenate(parts), return_inverse=True)
+    s = inv[: len(src)]
+    d = inv[len(src) : len(src) + len(dst)]
+    label = np.arange(len(u))
+    while True:
+        m = np.minimum(label[s], label[d])
+        np.minimum.at(label, s, m)
+        np.minimum.at(label, d, m)
+        while True:  # pointer jumping to the fixpoint of label[label]
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if len(s) == 0 or np.array_equal(label[s], label[d]):
+            break
+    return u, u[label]
+
+
+def _union_find_clusters(pairs_tbl, spark, id_type) -> DataFrame:
+    """Driver-side CC over a collected (src, dst) pyarrow table ->
+    (node, cluster_id) DataFrame (Arrow-built: a list-of-tuples
+    createDataFrame pays per-row pickling)."""
+    import pandas as pd
     import pyspark.sql.types as T
 
-    parent: dict = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in rows:
-        ra, rb = find(r[0]), find(r[1])
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    out = [(n, find(n)) for n in parent]
+    u, lab = _min_label_components(
+        _arrow_col(pairs_tbl, "src"), _arrow_col(pairs_tbl, "dst")
+    )
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("cluster_id", id_type)]
     )
-    return spark.createDataFrame(out, schema)
+    if not len(u):
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": u, "cluster_id": lab}), schema
+    )
 
 
 def dup_clusters(
@@ -397,9 +434,9 @@ def dup_clusters(
     )
     n_pairs = undirected.count()  # also materializes the persist
     if limit and n_pairs <= limit:
-        rows = undirected.collect()
+        tbl = undirected.toArrow()  # bounded by the limit just checked
         id_type = pairs.schema[id_a].dataType
-        out = _union_find_clusters(rows, pairs.sparkSession, id_type)
+        out = _union_find_clusters(tbl, pairs.sparkSession, id_type)
         undirected.unpersist()
         logger.info(
             "dup_clusters: driver union-find over %d pairs (limit %d)",

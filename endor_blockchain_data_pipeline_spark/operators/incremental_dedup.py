@@ -308,59 +308,56 @@ class DedupIndex:
         )
         n_pairs = int(obs.get["n"] or 0)
         if n_pairs > self.driver_pair_limit:
-            # Pair set too big for the driver union-find: fold DISTRIBUTED —
-            # same adaptive discipline as dup_clusters, nothing corpus-sized
+            # Pair set too big for the driver fold: go DISTRIBUTED — same
+            # adaptive discipline as dup_clusters, nothing corpus-sized
             # ever reaches the driver.
             return self._add_batch_distributed(docs, batch_id, new_bands, pairs)
-        pair_rows = pairs.collect()  # bounded by the limit just checked
+        import numpy as np
+        import pandas as pd
 
-        # ---- fold pairs into cluster labels (driver union-find over the
-        # TOUCHED subgraph only) ----
-        parent: dict[int, int] = {}
+        from endor_blockchain_data_pipeline_spark.operators.dedup import (
+            _arrow_col,
+            _min_label_components,
+        )
 
-        def find(x: int) -> int:
-            parent.setdefault(x, x)
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
+        # Arrow collect (bounded by the limit just checked) — a .collect()
+        # pays a per-Row py4j/pickle round-trip
+        ptbl = pairs.toArrow()
+        p_a, p_b = _arrow_col(ptbl, "id_a"), _arrow_col(ptbl, "id_b")
 
-        def union(a: int, b: int) -> None:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-
-        touched = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
-        member_rows = []
+        # ---- fold pairs into cluster labels (driver connected components
+        # over the TOUCHED subgraph only — vectorized min-label
+        # propagation, output identical to union-find) ----
+        touched = np.unique(np.concatenate([p_a, p_b]))
+        m_ids = m_cids = touched[:0]
         cl = self._read(self.clusters)
-        if cl is not None and touched:
+        if cl is not None and len(touched):
             # affected clusters = clusters containing a touched node; pull
             # their FULL membership (labels can only change there). Two
             # pushed-filter reads of the small clusters table, one collect
             # bounded by affected-cluster membership.
             touched_df = self.spark.createDataFrame(
-                [(self._pyid(t),) for t in sorted(touched)],
-                f"{id_col} {self.id_type}",
+                pd.DataFrame({id_col: touched}), f"{id_col} {self.id_type}"
             )
             affected_cids = cl.join(
                 F.broadcast(touched_df), id_col, "leftsemi"
             ).select("cluster_id").distinct()
-            member_rows = (
+            mtbl = (
                 cl.join(
                     F.broadcast(affected_cids.withColumnRenamed("cluster_id", "_cid")),
                     cl["cluster_id"] == F.col("_cid"),
                     "leftsemi",
                 )
                 .select(id_col, "cluster_id")
-                .collect()
+                .toArrow()
             )
-        pyid = self._pyid
-        for r in member_rows:
-            union(pyid(r[id_col]), pyid(r["cluster_id"]))
-        for r in pair_rows:
-            union(pyid(r["id_a"]), pyid(r["id_b"]))
+            m_ids = _arrow_col(mtbl, id_col)
+            m_cids = _arrow_col(mtbl, "cluster_id")
+        # edges = new pairs + (member -> its current label); nodes covers
+        # every endpoint, exactly the union-find's parent key set
+        nodes, labs = _min_label_components(
+            np.concatenate([m_ids, p_a]), np.concatenate([m_cids, p_b])
+        )
 
         # rows to (re)write: every doc of THIS batch + any previously-known
         # member whose label changed. Only the TOUCHED subgraph's labels
@@ -373,9 +370,13 @@ class DedupIndex:
         # groupBy(id) (ids unique), so every doc has exactly one band_idx=0
         # row in the materialized bands
         new_ids_df = new_bands.where(F.col("band_idx") == 0).select(id_col)
-        resolved = [(i, find(i)) for i in sorted(parent)]
-        if resolved:
-            tl = F.broadcast(self.spark.createDataFrame(resolved, label_schema))
+        if len(nodes):
+            tl = F.broadcast(
+                self.spark.createDataFrame(
+                    pd.DataFrame({id_col: nodes, "cluster_id": labs}),
+                    label_schema,
+                )
+            )
             labels = new_ids_df.join(
                 tl.withColumnRenamed("cluster_id", "_cid"), id_col, "left"
             ).select(
@@ -386,16 +387,18 @@ class DedupIndex:
             labels = new_ids_df.select(
                 F.col(id_col), F.col(id_col).alias("cluster_id")
             )
-        old_label = {pyid(r[id_col]): pyid(r["cluster_id"]) for r in member_rows}
-        changed = [
-            (i, lbl) for i, old in old_label.items() if (lbl := find(i)) != old
-        ]
-        if changed:
-            labels = labels.unionByName(
-                self.spark.createDataFrame(changed, label_schema).join(
-                    new_ids_df, id_col, "left_anti"
+        if len(m_ids):
+            new_lab = labs[np.searchsorted(nodes, m_ids)]
+            chg = new_lab != m_cids
+            if chg.any():
+                labels = labels.unionByName(
+                    self.spark.createDataFrame(
+                        pd.DataFrame(
+                            {id_col: m_ids[chg], "cluster_id": new_lab[chg]}
+                        ),
+                        label_schema,
+                    ).join(new_ids_df, id_col, "left_anti")
                 )
-            )
         return self._commit_batch(
             batch_id,
             new_bands,
@@ -661,40 +664,39 @@ class DedupIndex:
             return self._remove_docs_distributed(
                 batch_id, remaining, edges, tomb_bands, removed, n_removed
             )
-        member_rows = remaining.collect()  # bounded by the limit just checked
-        edge_rows = edges.collect()
+        import numpy as np
+        import pandas as pd
 
-        # driver union-find over the remaining affected subgraph only
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            parent.setdefault(x, x)
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        def union(p: int, q: int) -> None:
-            rp, rq = find(p), find(q)
-            if rp != rq:
-                parent[max(rp, rq)] = min(rp, rq)
-
-        pyid = self._pyid
-        for r in member_rows:
-            find(pyid(r[id_col]))  # singletons label themselves
-        for r in edge_rows:
-            union(pyid(r["id_a"]), pyid(r["id_b"]))
-        writes = []
-        for r in member_rows:
-            i = pyid(r[id_col])
-            lbl = find(i)
-            if lbl != pyid(r["cluster_id"]):
-                writes.append((i, lbl))
-        live = self.spark.createDataFrame(
-            writes, f"{id_col} {self.id_type}, cluster_id {self.id_type}"
+        from endor_blockchain_data_pipeline_spark.operators.dedup import (
+            _arrow_col,
+            _min_label_components,
         )
+
+        # Arrow collects (bounded by the limit just checked); then the
+        # driver connected components over the remaining affected subgraph
+        # only — vectorized min-label propagation, identical to union-find
+        # (extra_nodes: edge-less remaining members label themselves)
+        rtbl = remaining.toArrow()
+        etbl = edges.toArrow()
+        r_ids = _arrow_col(rtbl, id_col)
+        r_cids = _arrow_col(rtbl, "cluster_id")
+        nodes, labs = _min_label_components(
+            _arrow_col(etbl, "id_a"), _arrow_col(etbl, "id_b"),
+            extra_nodes=r_ids,
+        )
+        label_schema = f"{id_col} {self.id_type}, cluster_id {self.id_type}"
+        n_label_writes = 0
+        if len(r_ids):
+            new_lab = labs[np.searchsorted(nodes, r_ids)]
+            chg = new_lab != r_cids
+            n_label_writes = int(chg.sum())
+        if n_label_writes:
+            live = self.spark.createDataFrame(
+                pd.DataFrame({id_col: r_ids[chg], "cluster_id": new_lab[chg]}),
+                label_schema,
+            )
+        else:
+            live = self.spark.createDataFrame([], label_schema)
         return self._commit_frames(
             batch_id,
             lambda seq: self._with_internals(tomb_bands, batch_id, seq, deleted=True),
@@ -707,7 +709,7 @@ class DedupIndex:
                 "batch_id": batch_id,
                 "fold": "driver-union-find",
                 "n_removed": n_removed,  # observed on the members action
-                "n_label_writes": len(writes),
+                "n_label_writes": n_label_writes,
             },
         )
 

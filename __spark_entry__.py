@@ -808,7 +808,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_candidates(d, "text", "doc_id", k_shingle=12, n_hashes=4, n_bands=2)
-    return dedup_resolution(d, pairs, "doc_id")
+    # the uncapped positional first-shared-band join emits each pair
+    # exactly once, so the resolution skips its pair-distinct shuffle
+    return dedup_resolution(d, pairs, "doc_id", assume_distinct=True)
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -388,6 +388,7 @@ def dup_clusters(
     max_iters: int = 25,
     driver_pair_limit: int | None = None,
     strict: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fold candidate near-dup pairs into duplicate clusters.
 
@@ -426,12 +427,18 @@ def dup_clusters(
         if driver_pair_limit is None
         else driver_pair_limit
     )
-    undirected = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
-    )
+    undirected = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    if not assume_distinct:
+        # callers whose pair source guarantees one row per pair (the
+        # uncapped positional first-shared-band LSH joins, a pre-distincted
+        # edge frame) pass assume_distinct=True and skip this
+        # Exchange+HashAggregate of the pair set (guide: shuffle removal);
+        # everything below only needs src!=dst + at-most-once per
+        # orientation, which that guarantee provides
+        undirected = undirected.distinct()
+    undirected = undirected.persist()
     n_pairs = undirected.count()  # also materializes the persist
     if limit and n_pairs <= limit:
         tbl = undirected.toArrow()  # bounded by the limit just checked
@@ -511,6 +518,7 @@ def dedup_resolution(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Corpus-level keep/drop list from candidate near-dup pairs.
 
@@ -523,7 +531,9 @@ def dedup_resolution(
     never enter the label propagation and join as their own cluster).
     ``df.where(keep)`` IS the deduplicated corpus.
     """
-    clusters = dup_clusters(pairs, max_iters=max_iters)
+    clusters = dup_clusters(
+        pairs, max_iters=max_iters, assume_distinct=assume_distinct
+    )
     return (
         df.select(F.col(id_col).alias("node"))
         .join(clusters, "node", "left")

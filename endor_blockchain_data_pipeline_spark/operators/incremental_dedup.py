@@ -728,7 +728,11 @@ class DedupIndex:
         from endor_blockchain_data_pipeline_spark.operators.dedup import dup_clusters
 
         id_col = self.id_col
-        labels = dup_clusters(edges, driver_pair_limit=self.driver_pair_limit)
+        # edges arrive distinct + (a<b)-oriented (materialized upstream)
+        labels = dup_clusters(
+            edges, driver_pair_limit=self.driver_pair_limit,
+            assume_distinct=True,
+        )
         live = (
             remaining.withColumnRenamed("cluster_id", "_old")
             .join(labels, F.col(id_col) == labels["node"], "left")

@@ -656,35 +656,39 @@ class LiveCuration:
                 | ~F.col("_n_th").eqNullSafe(F.col("_b_th")) & is_new
             ).alias("_dirty"),
         )
-        obs_w = Observation()
-        writes = materialize(
-            out.where("_dirty").observe(obs_w, F.count("*").alias("n"))
-        )
-        n_writes = int(obs_w.get["n"] or 0)
         if exact_fut is not None:
             # the exact commit must land before the verdicts commit (the
             # refresh completion marker); surfacing its error here keeps
             # the crash-window contract (verdicts never marks a batch done
             # over a failed sub-commit)
             exact_fut.result()
+        # The dirty rows feed exactly ONE consumer (the verdicts commit), so
+        # they are never materialized: the commit's own stage action is the
+        # only job over this plan, ``_deleted`` is the carried ``_is_del``
+        # column (value-identical to the former two-filter union through
+        # ``_internals``, same column order), and the write count comes free
+        # from the staged files' stats instead of a standalone
+        # materialize+Observation action.
+        n_writes = 0
         if batch_id not in self.verdicts.committed_batches():
             seq = (
                 self.verdicts.watermark() + 1 if lsn_hi is None else int(lsn_hi)
             )
-            frame = self._internals(
-                writes.where("NOT _is_del").drop("_is_del", "_dirty"),
-                batch_id,
-                seq,
-                False,
-            ).unionByName(
-                self._internals(
-                    writes.where("_is_del").drop("_is_del", "_dirty"),
-                    batch_id,
-                    seq,
-                    True,
-                )
+            writes = out.where("_dirty")
+            frame = writes.select(
+                *[n for n in writes.columns if n not in ("_is_del", "_dirty")],
+                F.lit(seq).cast("long").alias("_lsn"),
+                F.timestamp_seconds(F.lit(seq)).alias("_mts"),
+                F.col("_is_del").alias("_deleted"),
+                F.lit(batch_id).alias("_batch"),
             )
-            self.verdicts.commit(frame, batch_id, seq, seq, None, mode="append")
+            staged = self.verdicts.stage(frame, batch_id)
+            n_writes = sum(
+                int(s["n_rows"]) for s in staged["bucket_stats"].values()
+            )
+            self.verdicts.commit_staged(
+                staged, batch_id, seq, seq, None, mode="append"
+            )
         return {
             "batch_id": batch_id,
             "replay": False,

@@ -155,15 +155,18 @@ def test_crash_between_commits_resumes(spark, setup, tmp_path):
     # commit — the completion marker is missing, so re-running the same
     # refresh finishes the fold (landed sub-commits replay-skip)
     _commit_state(spark, lake, [("x1", 0, "user", BASE, True)], "b2", 2)
-    real_commit = lc.verdicts.commit
+    # the verdicts publish point is stage()+commit_staged(); crashing the
+    # atomic publish leaves staged-but-unreferenced files, the strictest
+    # crash window (files on disk, completion marker missing)
+    real_commit = lc.verdicts.commit_staged
 
     def boom(*a, **kw):
         raise RuntimeError("injected crash before verdicts commit")
 
-    lc.verdicts.commit = boom
+    lc.verdicts.commit_staged = boom
     with pytest.raises(RuntimeError, match="injected"):
         lc.refresh(["x1"], "cdc-2")
-    lc.verdicts.commit = real_commit
+    lc.verdicts.commit_staged = real_commit
 
     st = lc.refresh(["x1"], "cdc-2")
     assert not st["replay"]

@@ -550,6 +550,13 @@ class DedupIndex:
                 staged_c = fc.result()
                 if stats.get("n_label_writes", 0) is None:
                     stats["n_label_writes"] = _staged_rows(staged_c)
+                # the bucket ids this fold's label rows landed in — free
+                # driver-side metadata callers reuse to bucket-prune their
+                # read-back of exactly these rows (LiveCuration.refresh)
+                # without paying a collect_set observation action for it
+                stats["label_buckets"] = sorted(
+                    int(b) for b in staged_c["new_buckets"]
+                )
                 self.clusters.commit_staged(
                     staged_c, batch_id, seq, seq, None, mode="append"
                 )

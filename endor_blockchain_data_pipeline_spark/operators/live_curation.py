@@ -557,17 +557,48 @@ class LiveCuration:
             ).select(c, (F.col("cluster_id") == F.col(c)).alias("_near_new"))
         else:
             labels = self._empty_labels()
-        obs_lab = Observation()
-        labels = materialize(
-            labels.observe(obs_lab, F.collect_set(v_bucket).alias("_vb"))
+        # labels' verdict-bucket set comes free from the folds' own staged
+        # manifests when near.clusters shares the verdicts' bucket layout
+        # (LiveCuration builds both on (conv, n_buckets), so bucket ids map
+        # 1:1) — the staged set covers every row the read-back can return
+        # (the window merge only drops rows), so pruning with it is exact-
+        # or-superset. labels then stays LAZY: it folds into the consumers'
+        # existing actions instead of paying its own materialize+observe.
+        # Fallback (fold replayed after a crash, or a caller overrode the
+        # near index's layout): the old materialize + observed collect_set.
+        st_by_batch = {
+            f"{batch_id}:rm": stats_rm,
+            f"{batch_id}:add": stats_add,
+        }
+        lab_buckets_known = (
+            self.near.clusters.bucket_key == self.verdicts.bucket_key
+            and self.near.clusters.n_buckets == self.verdicts.n_buckets
+            and all(
+                (st_by_batch[b] or {}).get("label_buckets") is not None
+                for b in wrote
+            )
         )
+        if lab_buckets_known:
+            lab_vb = sorted(
+                {
+                    int(x)
+                    for b in wrote
+                    for x in st_by_batch[b]["label_buckets"]
+                }
+            )
+        else:
+            obs_lab = Observation()
+            labels = materialize(
+                labels.observe(obs_lab, F.collect_set(v_bucket).alias("_vb"))
+            )
+            lab_vb = obs_lab.get["_vb"]
 
         # -- 5. verdict upsert: every conv whose flags changed --
         # lazy union of checkpointed frames (same rationale as scope)
         scope_all = scope.unionByName(labels.select(c)).distinct()
         base_all = self._pruned(
             self.verdicts, scope_all, c,
-            buckets=sorted(set(scope_buckets) | set(obs_lab.get["_vb"])),
+            buckets=sorted(set(scope_buckets) | set(lab_vb)),
             exclude_batch_ids=[batch_id],
         )
         if base_all is None:
